@@ -1,0 +1,33 @@
+"""Test harness config: run all tests on a fake 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere (the standard JAX
+substitute for fake multi-device backends; see SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms='axon,cpu' (remote TPU
+# tunnel), overriding the env var — override it back so tests run on the
+# local fake-8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

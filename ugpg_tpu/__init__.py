@@ -1,0 +1,33 @@
+"""ugpg_tpu: TPU-native Uncertainty-Guided Progressive-Growing U-Net framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+tridang04022004/UG-PG-UNet (reference layout documented in SURVEY.md):
+progressive multi-resolution U-Nets with uncertainty-guided loss weighting
+for medical-image segmentation (MoNuSeg) and classification (Herlev).
+"""
+
+from ugpg_tpu.models.pgunet import PGUNet1, PGUNet2, PGUNet3, PGUNet4, UNet
+from ugpg_tpu.models.progressive import ProgressiveUNet
+from ugpg_tpu.models.classifier import HerlevClassificationModel
+from ugpg_tpu.uncertainty import (
+    apply_uncertainty_weighted_loss,
+    binary_uncertainty,
+    entropy_uncertainty,
+    generate_uncertainty_map,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PGUNet1",
+    "PGUNet2",
+    "PGUNet3",
+    "PGUNet4",
+    "UNet",
+    "ProgressiveUNet",
+    "HerlevClassificationModel",
+    "binary_uncertainty",
+    "entropy_uncertainty",
+    "generate_uncertainty_map",
+    "apply_uncertainty_weighted_loss",
+]

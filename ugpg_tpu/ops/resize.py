@@ -1,0 +1,104 @@
+"""PyTorch-semantics image resizing as MXU-friendly matmuls.
+
+The reference resizes with ``torch.nn.functional.interpolate`` everywhere:
+
+* bilinear, ``align_corners=True`` for images / logits / probability maps
+  (ref: UG_unet.py:36-57, UG_unet.py:221,257-258,300-302,419-424,
+  uncertainty_guided_trainer.py:208,281,499)
+* ``nearest`` for segmentation masks
+  (ref: uncertainty_guided_trainer.py:209,282,500)
+
+``jax.image.resize`` implements neither convention, so we build the exact
+interpolation as two small dense matrices (one per spatial axis) applied via
+``einsum``.  Separable resampling as a pair of matmuls is the TPU-native
+formulation: both contractions tile straight onto the MXU, XLA fuses the
+surrounding elementwise work, and the matrices are trace-time constants
+(static shapes, no gathers on the hot path).
+
+All public functions take NHWC arrays (TPU-native layout).  NCHW helpers are
+provided for parity testing only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "resize_bilinear_align_corners",
+    "resize_nearest",
+    "upsample2x_bilinear_align_corners",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_ac_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation matrix W (out_size, in_size) for align_corners=True.
+
+    Row i holds the two-tap bilinear weights of output sample i:
+    ``src = i * (in-1) / (out-1)`` (0 when out_size == 1, matching torch's
+    area_pixel_compute_scale guard).
+    """
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    if out_size == 1 or in_size == 1:
+        w[:, 0] = 1.0
+        return w.astype(np.float32)
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    rows = np.arange(out_size)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, hi), frac)
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """Source indices for torch's legacy ``mode='nearest'``: floor(i*in/out)."""
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of NHWC ``x`` to (H', W'), torch align_corners=True.
+
+    Computed as ``W_h @ x @ W_w^T`` per (batch, channel): two MXU matmuls.
+    Accumulates in float32 and casts back to the input dtype.
+    """
+    out_h, out_w = size
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    wh = jnp.asarray(_bilinear_ac_matrix(h, out_h))
+    ww = jnp.asarray(_bilinear_ac_matrix(w, out_w))
+    y = x.astype(jnp.float32)
+    if out_h != h:
+        y = jnp.einsum("oh,nhwc->nowc", wh, y, precision=jax.lax.Precision.HIGHEST)
+    if out_w != w:
+        y = jnp.einsum("pw,nhwc->nhpc", ww, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest resize of NHWC ``x`` to (H', W'), torch legacy 'nearest' mode."""
+    out_h, out_w = size
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    if out_h != h:
+        x = jnp.take(x, jnp.asarray(_nearest_indices(h, out_h)), axis=1)
+    if out_w != w:
+        x = jnp.take(x, jnp.asarray(_nearest_indices(w, out_w)), axis=2)
+    return x
+
+
+def upsample2x_bilinear_align_corners(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample (align_corners=True), used by every Up block."""
+    n, h, w, c = x.shape
+    return resize_bilinear_align_corners(x, (2 * h, 2 * w))

@@ -1,0 +1,167 @@
+"""Optimizers with exact torch update math (SURVEY.md §7 hard-part #5).
+
+The reference trains with:
+* ``optim.RMSprop(lr, weight_decay=1e-4)`` for segmentation
+  (ref: uncertainty_guided_trainer.py:81-88)
+* ``optim.Adam(lr, weight_decay=1e-4)`` + ``ReduceLROnPlateau(0.5, 5)`` for
+  classification (ref: Herlev/train_herlev.py:183-194)
+
+optax's built-ins differ from torch in eps placement (optax ``scale_by_rms``
+adds eps *inside* the sqrt; torch adds it *outside*) and in weight-decay
+coupling (torch folds ``wd * p`` into the gradient *before* the moment
+updates — classic L2, not AdamW).  These transforms reproduce torch exactly:
+
+torch RMSprop (alpha=0.99, eps=1e-8, no momentum/centering):
+    g <- g + wd * p
+    v <- alpha * v + (1 - alpha) * g^2
+    p <- p - lr * g / (sqrt(v) + eps)
+
+torch Adam (b1=0.9, b2=0.999, eps=1e-8):
+    g <- g + wd * p
+    m <- b1 * m + (1 - b1) * g ;  v <- b2 * v + (1 - b2) * g^2
+    p <- p - lr * (m / (1 - b1^t)) / (sqrt(v / (1 - b2^t)) + eps)
+
+Learning rates are injected via ``optax.inject_hyperparams`` so the host-side
+``ReduceLROnPlateau`` scheduler can mutate ``opt_state.hyperparams['lr']``
+without recompiling the jitted train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "torch_rmsprop",
+    "torch_adam",
+    "ReduceLROnPlateau",
+    "set_learning_rate",
+    "get_learning_rate",
+]
+
+
+def _add_weight_decay(weight_decay: float) -> optax.GradientTransformation:
+    """L2-style coupled decay: g += wd * p (applied before moment updates)."""
+    if weight_decay == 0.0:
+        return optax.identity()
+    return optax.add_decayed_weights(weight_decay)
+
+
+def _scale_by_torch_rms(alpha: float, eps: float) -> optax.GradientTransformation:
+    def init(params):
+        return {"nu": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        nu = jax.tree.map(
+            lambda v, g: alpha * v + (1.0 - alpha) * g * g, state["nu"], updates
+        )
+        updates = jax.tree.map(lambda g, v: g / (jnp.sqrt(v) + eps), updates, nu)
+        return updates, {"nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_torch_adam(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    def init(params):
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree.map(jnp.zeros_like, params),
+            "nu": jax.tree.map(jnp.zeros_like, params),
+        }
+
+    def update(updates, state, params=None):
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g, state["nu"], updates)
+        bc1 = 1.0 - b1**t
+        bc2 = 1.0 - b2**t
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        return updates, {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
+def torch_rmsprop(
+    learning_rate: float,
+    alpha: float = 0.99,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """torch.optim.RMSprop parity (no momentum, non-centered)."""
+
+    @optax.inject_hyperparams
+    def make(lr):
+        return optax.chain(
+            _add_weight_decay(weight_decay),
+            _scale_by_torch_rms(alpha, eps),
+            optax.scale_by_learning_rate(lr),
+        )
+
+    return make(lr=learning_rate)
+
+
+def torch_adam(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam parity (L2-coupled weight decay, not AdamW)."""
+
+    @optax.inject_hyperparams
+    def make(lr):
+        return optax.chain(
+            _add_weight_decay(weight_decay),
+            _scale_by_torch_adam(b1, b2, eps),
+            optax.scale_by_learning_rate(lr),
+        )
+
+    return make(lr=learning_rate)
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["lr"])
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """Host-side parity of torch.optim.lr_scheduler.ReduceLROnPlateau.
+
+    mode='min', default threshold semantics ('rel', 1e-4), cooldown=0.
+    Call ``step(metric, opt_state)`` once per epoch; it mutates the injected
+    ``lr`` hyperparameter in-place and returns the (possibly updated) state.
+    """
+
+    factor: float = 0.5
+    patience: int = 5
+    threshold: float = 1e-4
+    min_lr: float = 0.0
+    best: float = field(default=float("inf"), init=False)
+    num_bad_epochs: int = field(default=0, init=False)
+
+    def _is_better(self, metric: float) -> bool:
+        return metric < self.best * (1.0 - self.threshold)
+
+    def step(self, metric: float, opt_state):
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(get_learning_rate(opt_state) * self.factor, self.min_lr)
+            opt_state = set_learning_rate(opt_state, new_lr)
+            self.num_bad_epochs = 0
+        return opt_state

@@ -1,0 +1,110 @@
+"""Uncertainty-guided loss machinery as pure jittable functions.
+
+The heart of the method (ref: UG_unet.py:8-94).  Everything here is a pure
+function of arrays so the whole chain — resize to prev resolution, frozen
+prev-stage forward, resize probabilities back up, pointwise uncertainty map,
+weighted-loss reduction — compiles into ONE fused XLA program inside the
+train step.  ``stop_gradient`` replaces torch's ``no_grad``/``detach``
+(ref: UG_unet.py:34,59,89).
+
+Formulas:
+* binary uncertainty   A = 1 - 2*|P - 0.5|           (ref: UG_unet.py:57)
+* weight map           w = 1 + alpha * A             (ref: UG_unet.py:86)
+* entropy uncertainty  H(p)/log(K) for multi-class classification
+  (ref: Herlev/train_herlev.py:254-257)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ugpg_tpu.ops.resize import resize_bilinear_align_corners
+
+__all__ = [
+    "binary_uncertainty",
+    "entropy_uncertainty",
+    "generate_uncertainty_map",
+    "apply_uncertainty_weighted_loss",
+    "classification_uncertainty_weights",
+]
+
+
+def binary_uncertainty(probs: jax.Array) -> jax.Array:
+    """A = 1 - 2*|P - 0.5|: 1 at P=0.5, 0 at P in {0,1} (ref: UG_unet.py:57)."""
+    return 1.0 - 2.0 * jnp.abs(probs - 0.5)
+
+
+def entropy_uncertainty(probs: jax.Array, num_classes: int, axis: int = -1) -> jax.Array:
+    """Normalized softmax entropy H(p)/log(K) (ref: Herlev/train_herlev.py:256-257)."""
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=axis, keepdims=True)
+    return entropy / jnp.log(float(num_classes))
+
+
+def generate_uncertainty_map(
+    prev_apply: Callable[[jax.Array], jax.Array],
+    x_current: jax.Array,
+    prev_resolution: int,
+    current_resolution: int,
+) -> jax.Array:
+    """Uncertainty map from the frozen previous-stage model.
+
+    (a) bilinear-downsample input to prev resolution, (b) frozen forward +
+    sigmoid, (c) bilinear-upsample probs back, (d) pointwise uncertainty.
+    All under stop_gradient (ref: UG_unet.py:19-59).  ``prev_apply`` must run
+    the prev model in eval mode (running BN stats).
+
+    x_current: NHWC at current resolution. Returns NHWC (K channels).
+    """
+    x_prev = resize_bilinear_align_corners(
+        x_current, (prev_resolution, prev_resolution)
+    )
+    probs = jax.nn.sigmoid(prev_apply(x_prev))
+    probs_up = resize_bilinear_align_corners(
+        probs, (current_resolution, current_resolution)
+    )
+    return jax.lax.stop_gradient(binary_uncertainty(probs_up))
+
+
+def apply_uncertainty_weighted_loss(
+    pixel_loss: jax.Array,
+    uncertainty_map: jax.Array | None,
+    alpha: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Weighted mean of a per-pixel loss (ref: UG_unet.py:61-94).
+
+    Stage 1 (``uncertainty_map is None``): plain mean.  Stage > 1:
+    ``mean(pixel_loss * stop_gradient(1 + alpha*A))``.  Returns
+    (final_loss, base_loss) where base_loss is the unweighted mean kept for
+    monitoring.
+    """
+    base_loss = jnp.mean(pixel_loss)
+    if uncertainty_map is None:
+        return base_loss, base_loss
+    weights = jax.lax.stop_gradient(1.0 + alpha * uncertainty_map)
+    return jnp.mean(pixel_loss * weights), base_loss
+
+
+def classification_uncertainty_weights(
+    prev_logits: jax.Array,
+    num_classes: int,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """Per-sample weights for classification (ref: Herlev/train_herlev.py:252-276).
+
+    Multi-class (K > 2): normalized softmax entropy.  Binary: the
+    1-2|p-0.5| formula on sigmoid probs.  Spatial maps are mean-pooled to a
+    single scalar per sample; returns (B,) weights ``1 + alpha*A``.
+    """
+    if num_classes > 2:
+        probs = jax.nn.softmax(prev_logits, axis=-1)
+        unc = entropy_uncertainty(probs, num_classes, axis=-1)
+    else:
+        probs = jax.nn.sigmoid(prev_logits)
+        unc = binary_uncertainty(probs)
+    # Mean over all non-batch axes -> one scalar per sample.
+    axes = tuple(range(1, unc.ndim))
+    unc = jnp.mean(unc, axis=axes) if axes else unc
+    return jax.lax.stop_gradient(1.0 + alpha * unc)
