@@ -1,0 +1,117 @@
+"""Checkpoint save/load with the reference's metadata schema.
+
+The reference saves torch dicts like ``{stage, epoch, model_state_dict,
+optimizer_state_dict, val_dice, train_dice, uncertainty_alpha, history}``
+(ref: uncertainty_guided_trainer.py:384-393) under names
+``ug_pgunet_stage{N}_best.pth`` and loads them with stage sniffing — a raw
+state-dict is assumed stage 4 (ref: test_monuseg.py:124-138).
+
+Here a checkpoint is a directory: ``variables.msgpack`` (flax msgpack of the
+model variable tree), optional ``opt_state.msgpack``, and ``metadata.json``
+(everything scalar: stage, epoch, metrics, alpha, history, config).  The
+loader sniffs stage from metadata and falls back to stage 4 for bare
+variable files, mirroring the reference's loader semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = ["save_checkpoint", "load_checkpoint", "sniff_stage", "latest_checkpoint"]
+
+
+def _to_py(obj):
+    """Make metadata JSON-serializable (numpy scalars -> python)."""
+    if isinstance(obj, dict):
+        return {k: _to_py(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_py(v) for v in obj]
+    if isinstance(obj, (np.generic,)):
+        return obj.item()
+    if hasattr(obj, "item") and getattr(obj, "ndim", None) == 0:
+        return obj.item()
+    return obj
+
+
+def save_checkpoint(
+    path: str | os.PathLike,
+    variables: Mapping[str, Any],
+    opt_state: Any = None,
+    metadata: Mapping[str, Any] | None = None,
+) -> Path:
+    """Write a checkpoint directory; returns its path."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    host_vars = jax.device_get(variables)
+    (path / "variables.msgpack").write_bytes(serialization.to_bytes(host_vars))
+    if opt_state is not None:
+        host_opt = jax.device_get(serialization.to_state_dict(opt_state))
+        (path / "opt_state.msgpack").write_bytes(serialization.to_bytes(host_opt))
+    meta = _to_py(dict(metadata or {}))
+    (path / "metadata.json").write_text(json.dumps(meta, indent=2))
+    return path
+
+
+def load_checkpoint(
+    path: str | os.PathLike,
+    variables_template: Mapping[str, Any] | None = None,
+    opt_state_template: Any = None,
+) -> tuple[Any, Any, dict]:
+    """Load (variables, opt_state, metadata) from a checkpoint directory.
+
+    With templates, restores exact pytree structure/dtypes; without, returns
+    raw nested dicts of numpy arrays.
+    """
+    path = Path(path)
+    raw = (path / "variables.msgpack").read_bytes()
+    if variables_template is not None:
+        variables = serialization.from_bytes(variables_template, raw)
+    else:
+        variables = serialization.msgpack_restore(raw)
+
+    opt_state = None
+    opt_file = path / "opt_state.msgpack"
+    if opt_file.exists():
+        raw_opt = opt_file.read_bytes()
+        if opt_state_template is not None:
+            opt_state = serialization.from_state_dict(
+                opt_state_template, serialization.msgpack_restore(raw_opt)
+            )
+        else:
+            opt_state = serialization.msgpack_restore(raw_opt)
+
+    meta_file = path / "metadata.json"
+    metadata = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    return variables, opt_state, metadata
+
+
+def sniff_stage(path: str | os.PathLike, default: int = 4) -> int:
+    """Stage detection: metadata['stage'] if present, else ``default``
+    (the reference assumes raw state-dicts are stage 4,
+    ref: test_monuseg.py:139-147)."""
+    meta_file = Path(path) / "metadata.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+        if "stage" in meta:
+            return int(meta["stage"])
+    return default
+
+
+def latest_checkpoint(directory: str | os.PathLike, prefix: str = "") -> Path | None:
+    """Most recently modified checkpoint dir under ``directory``."""
+    directory = Path(directory)
+    if not directory.exists():
+        return None
+    candidates = [
+        p for p in directory.iterdir()
+        if p.is_dir() and (p / "variables.msgpack").exists()
+        and p.name.startswith(prefix)
+    ]
+    return max(candidates, key=lambda p: p.stat().st_mtime) if candidates else None

@@ -83,32 +83,35 @@ def torch_linear_bias_init_for(fan_in: int):
     return torch_conv_bias_init_for(fan_in)
 
 
-def conv3x3(features: int, in_features: int, name: str) -> nn.Conv:
+def conv3x3(features: int, in_features: int, name: str, dtype=None) -> nn.Conv:
     return nn.Conv(
         features,
         kernel_size=(3, 3),
         padding=((1, 1), (1, 1)),
         kernel_init=torch_conv_kernel_init,
         bias_init=torch_conv_bias_init_for(9 * in_features),
+        dtype=dtype,
         name=name,
     )
 
 
-def conv1x1(features: int, in_features: int, name: str) -> nn.Conv:
+def conv1x1(features: int, in_features: int, name: str, dtype=None) -> nn.Conv:
     return nn.Conv(
         features,
         kernel_size=(1, 1),
         kernel_init=torch_conv_kernel_init,
         bias_init=torch_conv_bias_init_for(in_features),
+        dtype=dtype,
         name=name,
     )
 
 
-def batch_norm(name: str, axis_name: str | None = None) -> nn.BatchNorm:
+def batch_norm(name: str, axis_name: str | None = None, dtype=None) -> nn.BatchNorm:
     return nn.BatchNorm(
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
         axis_name=axis_name,
+        dtype=dtype,
         name=name,
     )
 
@@ -118,15 +121,16 @@ class DoubleConv(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    dtype: Any = None  # compute dtype; None=f32, jnp.bfloat16 for TPU fast path
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in1 = x.shape[-1]
-        x = conv3x3(self.out_channels, in1, "conv1")(x)
-        x = batch_norm("bn1", self.axis_name)(x, use_running_average=not train)
+        x = conv3x3(self.out_channels, in1, "conv1", self.dtype)(x)
+        x = batch_norm("bn1", self.axis_name, self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
-        x = conv3x3(self.out_channels, self.out_channels, "conv2")(x)
-        x = batch_norm("bn2", self.axis_name)(x, use_running_average=not train)
+        x = conv3x3(self.out_channels, self.out_channels, "conv2", self.dtype)(x)
+        x = batch_norm("bn2", self.axis_name, self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         return x
 
@@ -136,10 +140,11 @@ class InConv(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return DoubleConv(self.out_channels, self.axis_name, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
 
 
 class Down(nn.Module):
@@ -147,11 +152,12 @@ class Down(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-        return DoubleConv(self.out_channels, self.axis_name, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -163,22 +169,27 @@ class Up(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
         x1 = upsample2x_bilinear_align_corners(x1)
         x = jnp.concatenate([x2, x1], axis=-1)
-        return DoubleConv(self.out_channels, self.axis_name, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
 
 
 class OutConv(nn.Module):
-    """1x1 conv logits head (ref: UG_unet_parts.py:84-91)."""
+    """1x1 conv logits head (ref: UG_unet_parts.py:84-91).
+
+    Always computes in float32: the multi-scale head sums and downstream
+    sigmoid/loss math stay full-precision even on the bf16 fast path.
+    """
 
     num_classes: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return conv1x1(self.num_classes, x.shape[-1], "conv")(x)
+        return conv1x1(self.num_classes, x.shape[-1], "conv", jnp.float32)(x)
 
 
 class DownSample(nn.Module):

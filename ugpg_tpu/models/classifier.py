@@ -14,6 +14,8 @@ the name-keyed transfer op (``ugpg_tpu.progressive.transfer``).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -43,13 +45,16 @@ _ENCODER_SPECS = {
 class _Encoder(nn.Module):
     stage: int
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         inc_width, downs = _ENCODER_SPECS[self.stage]
-        x = InConv(inc_width, self.axis_name, name="inc")(x, train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = InConv(inc_width, self.axis_name, self.dtype, name="inc")(x, train)
         for name, width in downs:
-            x = Down(width, self.axis_name, name=name)(x, train)
+            x = Down(width, self.axis_name, self.dtype, name=name)(x, train)
         return x
 
 
@@ -72,12 +77,13 @@ class HerlevClassificationModel(nn.Module):
     stage: int
     num_classes: int = 7
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        feats = _Encoder(self.stage, self.axis_name, name="unet")(x, train)
-        # AdaptiveAvgPool2d(1) + Flatten -> global mean over H, W.
-        h = jnp.mean(feats, axis=(1, 2))
+        feats = _Encoder(self.stage, self.axis_name, self.dtype, name="unet")(x, train)
+        # AdaptiveAvgPool2d(1) + Flatten -> global mean over H, W; head in f32.
+        h = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
         deterministic = not train
         h = nn.Dropout(0.5, deterministic=deterministic, name="drop1")(h)
         h = nn.relu(_dense(512, h.shape[-1], "fc1")(h))

@@ -15,6 +15,8 @@ shared-depth layers carry over (ref: UG_unet.py:345-411).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -36,13 +38,15 @@ class PGUNet1(nn.Module):
 
     num_classes: int = 1
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = self.axis_name
-        x1 = InConv(512, a, name="inc")(x, train)          # 32x32x512
-        x2 = Down(512, a, name="down4")(x1, train)         # 16x16x512
-        x3 = Up(256, a, name="up1")(x2, x1, train)         # 32x32x256
+        a, dt = self.axis_name, self.dtype
+        x = x.astype(dt) if dt is not None else x
+        x1 = InConv(512, a, dt, name="inc")(x, train)          # 32x32x512
+        x2 = Down(512, a, dt, name="down4")(x1, train)         # 16x16x512
+        x3 = Up(256, a, dt, name="up1")(x2, x1, train)         # 32x32x256
         return OutConv(self.num_classes, name="outc")(x3)
 
 
@@ -51,15 +55,17 @@ class PGUNet2(nn.Module):
 
     num_classes: int = 1
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = self.axis_name
-        x1 = InConv(256, a, name="inc")(x, train)          # 64
-        x2 = Down(512, a, name="down3")(x1, train)         # 32
-        x3 = Down(512, a, name="down4")(x2, train)         # 16
-        x4 = Up(256, a, name="up1")(x3, x2, train)         # 32
-        x5 = Up(128, a, name="up2")(x4, x1, train)         # 64
+        a, dt = self.axis_name, self.dtype
+        x = x.astype(dt) if dt is not None else x
+        x1 = InConv(256, a, dt, name="inc")(x, train)          # 64
+        x2 = Down(512, a, dt, name="down3")(x1, train)         # 32
+        x3 = Down(512, a, dt, name="down4")(x2, train)         # 16
+        x4 = Up(256, a, dt, name="up1")(x3, x2, train)         # 32
+        x5 = Up(128, a, dt, name="up2")(x4, x1, train)         # 64
         o1 = OutConv(self.num_classes, name="outc1")(x4)
         o2 = OutConv(self.num_classes, name="outc2")(x5)
         return _up_to(o1, o2.shape[1]) + o2
@@ -70,17 +76,19 @@ class PGUNet3(nn.Module):
 
     num_classes: int = 1
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = self.axis_name
-        x1 = InConv(128, a, name="inc")(x, train)          # 128
-        x2 = Down(256, a, name="down2")(x1, train)         # 64
-        x3 = Down(512, a, name="down3")(x2, train)         # 32
-        x4 = Down(512, a, name="down4")(x3, train)         # 16
-        x5 = Up(256, a, name="up1")(x4, x3, train)         # 32
-        x6 = Up(128, a, name="up2")(x5, x2, train)         # 64
-        x7 = Up(64, a, name="up3")(x6, x1, train)          # 128
+        a, dt = self.axis_name, self.dtype
+        x = x.astype(dt) if dt is not None else x
+        x1 = InConv(128, a, dt, name="inc")(x, train)          # 128
+        x2 = Down(256, a, dt, name="down2")(x1, train)         # 64
+        x3 = Down(512, a, dt, name="down3")(x2, train)         # 32
+        x4 = Down(512, a, dt, name="down4")(x3, train)         # 16
+        x5 = Up(256, a, dt, name="up1")(x4, x3, train)         # 32
+        x6 = Up(128, a, dt, name="up2")(x5, x2, train)         # 64
+        x7 = Up(64, a, dt, name="up3")(x6, x1, train)          # 128
         res = x7.shape[1]
         o = _up_to(OutConv(self.num_classes, name="outc1")(x5), res)
         o = o + _up_to(OutConv(self.num_classes, name="outc2")(x6), res)
@@ -92,19 +100,21 @@ class PGUNet4(nn.Module):
 
     num_classes: int = 1
     axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = self.axis_name
-        x1 = InConv(64, a, name="inc")(x, train)           # 256
-        x2 = Down(128, a, name="down1")(x1, train)         # 128
-        x3 = Down(256, a, name="down2")(x2, train)         # 64
-        x4 = Down(512, a, name="down3")(x3, train)         # 32
-        x5 = Down(512, a, name="down4")(x4, train)         # 16
-        x6 = Up(256, a, name="up1")(x5, x4, train)         # 32
-        x7 = Up(128, a, name="up2")(x6, x3, train)         # 64
-        x8 = Up(64, a, name="up3")(x7, x2, train)          # 128
-        x9 = Up(64, a, name="up4")(x8, x1, train)          # 256
+        a, dt = self.axis_name, self.dtype
+        x = x.astype(dt) if dt is not None else x
+        x1 = InConv(64, a, dt, name="inc")(x, train)           # 256
+        x2 = Down(128, a, dt, name="down1")(x1, train)         # 128
+        x3 = Down(256, a, dt, name="down2")(x2, train)         # 64
+        x4 = Down(512, a, dt, name="down3")(x3, train)         # 32
+        x5 = Down(512, a, dt, name="down4")(x4, train)         # 16
+        x6 = Up(256, a, dt, name="up1")(x5, x4, train)         # 32
+        x7 = Up(128, a, dt, name="up2")(x6, x3, train)         # 64
+        x8 = Up(64, a, dt, name="up3")(x7, x2, train)          # 128
+        x9 = Up(64, a, dt, name="up4")(x8, x1, train)          # 256
         res = x9.shape[1]
         o = _up_to(OutConv(self.num_classes, name="outc1")(x6), res)
         o = o + _up_to(OutConv(self.num_classes, name="outc2")(x7), res)

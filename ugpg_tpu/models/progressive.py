@@ -44,6 +44,7 @@ class ProgressiveUNet:
         stage: int = 1,
         task_type: str = "segmentation",
         axis_name: str | None = None,
+        dtype=None,
     ):
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
@@ -54,6 +55,7 @@ class ProgressiveUNet:
         self.num_classes = int(k)
         self.task_type = task_type
         self.axis_name = axis_name
+        self.dtype = dtype
         self.stage_resolutions = (
             dict(STAGE_RESOLUTIONS)
             if task_type == "segmentation"
@@ -61,13 +63,14 @@ class ProgressiveUNet:
         )
         if task_type == "segmentation":
             self.stages = {
-                s: cls(num_classes=self.num_classes, axis_name=axis_name)
+                s: cls(num_classes=self.num_classes, axis_name=axis_name, dtype=dtype)
                 for s, cls in STAGE_MODELS.items()
             }
         else:
             self.stages = {
                 s: HerlevClassificationModel(
-                    stage=s, num_classes=self.num_classes, axis_name=axis_name
+                    stage=s, num_classes=self.num_classes, axis_name=axis_name,
+                    dtype=dtype,
                 )
                 for s in STAGE_MODELS
             }

@@ -75,6 +75,19 @@ def resize_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Ar
     if (h, w) == (out_h, out_w):
         return x
     dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        # bf16 fast path: MXU multiplies bf16 x bf16 with f32 accumulation
+        # natively; keeping operands bf16 halves the HBM traffic.  The
+        # two-tap weights lose ~3 decimal digits in bf16 — fine for model
+        # activations, NOT used for the parity-critical f32 path.
+        wh = jnp.asarray(_bilinear_ac_matrix(h, out_h)).astype(dtype)
+        ww = jnp.asarray(_bilinear_ac_matrix(w, out_w)).astype(dtype)
+        y = x
+        if out_h != h:
+            y = jnp.einsum("oh,nhwc->nowc", wh, y, preferred_element_type=jnp.float32)
+        if out_w != w:
+            y = jnp.einsum("pw,nhwc->nhpc", ww, y.astype(dtype), preferred_element_type=jnp.float32)
+        return y.astype(dtype)
     wh = jnp.asarray(_bilinear_ac_matrix(h, out_h))
     ww = jnp.asarray(_bilinear_ac_matrix(w, out_w))
     y = x.astype(jnp.float32)

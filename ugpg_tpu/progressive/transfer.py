@@ -51,7 +51,11 @@ def unflatten_tree(flat: Mapping[tuple[str, ...], Any]) -> dict:
 def _overlap_copy(prev: jax.Array, cur: jax.Array) -> jax.Array | None:
     """Copy the overlapping slab of ``prev`` into ``cur``; None if unhandled."""
     if prev.shape == cur.shape:
-        return prev
+        # Fresh buffer (the reference clone()s too, ref: UG_unet.py:371) —
+        # critical under jit donation: without the copy, the merged tree
+        # aliases the frozen prev-stage tree, and donating one would
+        # invalidate the other inside a single fused train step.
+        return jnp.copy(prev)
     if prev.ndim != cur.ndim:
         return None
     if prev.ndim == 4:  # conv kernel (kh, kw, in, out)

@@ -1,0 +1,386 @@
+"""Uncertainty-guided progressive trainer for segmentation.
+
+Host-side engine reproducing the reference trainer's behavior
+(ref: uncertainty_guided_trainer.py:25-525) on top of the fused jit steps:
+
+* stage configs {1: (32px, 40ep, lr 3e-4), 2-4: (64/128/256px, 40ep, 1e-4)}
+  (ref: :42-47)
+* RMSprop(weight_decay=1e-4) rebuilt per stage (ref: :81-88)
+* BCEWithLogits(pos_weight=5.0) base loss (ref: :64-65)
+* weight transfer at stage entry (ref: :125-141), uncertainty guidance from
+  the frozen previous stage for stages > 1 (ref: :143-184)
+* best-val-Dice checkpoint per stage with the reference metadata schema
+  (ref: :382-393), history dict, training plots, uncertainty analysis JSON
+
+The hot loop is pure device work: one fused train step per batch, metric
+scalars read back asynchronously at epoch end (no per-batch .item() syncs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
+from ugpg_tpu.progressive.transfer import transfer_weights
+from ugpg_tpu.train.optim import torch_rmsprop
+from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
+
+__all__ = ["UncertaintyGuidedProgressiveTrainer", "DEFAULT_STAGE_CONFIGS"]
+
+DEFAULT_STAGE_CONFIGS = {
+    1: {"resolution": 32, "epochs_per_stage": 40, "lr": 3e-4},
+    2: {"resolution": 64, "epochs_per_stage": 40, "lr": 1e-4},
+    3: {"resolution": 128, "epochs_per_stage": 40, "lr": 1e-4},
+    4: {"resolution": 256, "epochs_per_stage": 40, "lr": 1e-4},
+}
+
+_METRIC_KEYS = (
+    "final_loss",
+    "base_loss",
+    "dice",
+    "accuracy",
+    "uncertainty_weight_mean",
+    "uncertainty_weight_std",
+)
+
+
+class UncertaintyGuidedProgressiveTrainer:
+    """Progressive 4-stage trainer with uncertainty-guided loss weighting."""
+
+    def __init__(
+        self,
+        in_channels: int = 3,
+        num_classes: int = 1,
+        uncertainty_alpha: float = 1.0,
+        pos_weight: float = 5.0,
+        weight_decay: float = 1e-4,
+        stage_configs: Mapping[int, Mapping[str, Any]] | None = None,
+        dtype=None,
+        axis_name: str | None = None,
+        seed: int = 0,
+        verbose: bool = True,
+    ):
+        self.in_channels = in_channels
+        self.num_classes = num_classes
+        self.uncertainty_alpha = uncertainty_alpha
+        self.pos_weight = jnp.asarray(pos_weight, jnp.float32)
+        self.weight_decay = weight_decay
+        self.stage_configs = {
+            s: dict(cfg) for s, cfg in (stage_configs or DEFAULT_STAGE_CONFIGS).items()
+        }
+        self.verbose = verbose
+        self._print = print if verbose else (lambda *a, **k: None)
+
+        self.modules = {
+            s: cls(num_classes=num_classes, axis_name=axis_name, dtype=dtype)
+            for s, cls in STAGE_MODELS.items()
+        }
+        # Lazily initialized per-stage variable trees.
+        rngs = jax.random.split(jax.random.key(seed), 4)
+        self.variables: dict[int, Any] = {}
+        self._init_rngs = {s: rngs[s - 1] for s in (1, 2, 3, 4)}
+
+        self.current_stage = 1
+        self._tx = None
+        self._state: TrainState | None = None
+        self._train_steps: dict[int, Any] = {}
+        self._eval_steps: dict[int, Any] = {}
+
+        self.history: dict[str, list] = {
+            "train_loss": [],
+            "val_loss": [],
+            "train_dice": [],
+            "val_dice": [],
+            "uncertainty_weights_mean": [],
+            "uncertainty_weights_std": [],
+            "base_loss": [],
+            "stage_transitions": [],
+        }
+
+    # ------------------------------------------------------------------
+    def _ensure_variables(self, stage: int):
+        if stage not in self.variables:
+            res = self.stage_configs[stage]["resolution"]
+            x = jnp.zeros((1, res, res, self.in_channels), jnp.float32)
+            self.variables[stage] = self.modules[stage].init(
+                self._init_rngs[stage], x, False
+            )
+        return self.variables[stage]
+
+    def setup_optimizer(self, stage: int):
+        """Fresh torch-parity RMSprop for the stage (ref: :81-88)."""
+        self._tx = torch_rmsprop(
+            self.stage_configs[stage]["lr"], weight_decay=self.weight_decay
+        )
+        variables = self._ensure_variables(stage)
+        self._state = TrainState.create(variables, self._tx)
+        return self._tx
+
+    def transfer_weights(self, prev_stage: int, new_stage: int):
+        """Name-keyed overlap merge from the previous stage (ref: :125-141)."""
+        self._print(f"Transferring weights from stage {prev_stage} to stage {new_stage}")
+        prev_vars = self._ensure_variables(prev_stage)
+        new_vars = self._ensure_variables(new_stage)
+        merged, copied = transfer_weights(prev_vars, new_vars)
+        self.variables[new_stage] = merged
+        self._print(
+            f"transfer_weights(stage={new_stage}): copied {len(copied)} keys "
+            f"(examples: {copied[:5]})"
+        )
+
+    def _get_train_step(self, stage: int):
+        if self._tx is None or self._state is None:
+            self.setup_optimizer(stage)
+        if stage not in self._train_steps:
+            cfg = self.stage_configs[stage]
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            self._train_steps[stage] = make_seg_train_step(
+                self.modules[stage],
+                self._tx,
+                stage,
+                cfg["resolution"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+            )
+        return self._train_steps[stage]
+
+    def _get_eval_step(self, stage: int):
+        if stage not in self._eval_steps:
+            cfg = self.stage_configs[stage]
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            self._eval_steps[stage] = make_seg_eval_step(
+                self.modules[stage],
+                stage,
+                cfg["resolution"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+            )
+        return self._eval_steps[stage]
+
+    def _prev_variables(self, stage: int):
+        return self._ensure_variables(stage - 1) if stage > 1 else {}
+
+    @staticmethod
+    def _as_batch(batch):
+        images, masks = batch
+        return jnp.asarray(images), jnp.asarray(masks)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, dataloader: Iterable, stage: int):
+        """One training epoch; returns the reference's 6-tuple of averages
+        (loss, base_loss, dice, accuracy, unc_mean, unc_std) (ref: :186-256)."""
+        step_fn = self._get_train_step(stage)
+        prev_vars = self._prev_variables(stage)
+        acc: list[dict] = []
+        for batch_idx, batch in enumerate(dataloader):
+            self._state, metrics = step_fn(
+                self._state, prev_vars, self._as_batch(batch), self.pos_weight
+            )
+            acc.append(metrics)
+            if self.verbose and batch_idx % 10 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                unc = (
+                    f", Unc_mean: {m['uncertainty_weight_mean']:.4f}" if stage > 1 else ""
+                )
+                self._print(
+                    f"Stage {stage}, Batch {batch_idx}, Loss: {m['final_loss']:.4f}, "
+                    f"Base_Loss: {m['base_loss']:.4f}, Dice: {m['dice']:.4f}, "
+                    f"Acc: {m['accuracy']:.4f}{unc}"
+                )
+        self.variables[stage] = self._state.variables
+        return self._average(acc)
+
+    def validate_epoch(self, dataloader: Iterable, stage: int):
+        """One validation epoch (eval-mode BN, no update) (ref: :258-314)."""
+        step_fn = self._get_eval_step(stage)
+        prev_vars = self._prev_variables(stage)
+        variables = self._state.variables if self._state else self._ensure_variables(stage)
+        acc = [
+            step_fn(variables, prev_vars, self._as_batch(b), self.pos_weight)
+            for b in dataloader
+        ]
+        return self._average(acc)
+
+    @staticmethod
+    def _average(acc: list[dict]) -> tuple[float, ...]:
+        if not acc:
+            return (0.0,) * len(_METRIC_KEYS)
+        stacked = {
+            k: float(np.mean([float(m[k]) for m in acc])) for k in _METRIC_KEYS
+        }
+        return tuple(stacked[k] for k in _METRIC_KEYS)
+
+    # ------------------------------------------------------------------
+    def train_progressive(
+        self,
+        train_loader: Iterable,
+        val_loader: Iterable,
+        max_stages: int = 4,
+        save_dir: str = "./uncertainty_guided_weights",
+        stages: Iterable[int] | None = None,
+    ):
+        """Full progressive loop: stages 1..max_stages (ref: :316-398)."""
+        save_path = Path(save_dir)
+        save_path.mkdir(parents=True, exist_ok=True)
+        self._print("Starting Uncertainty-Guided Progressive Growing U-Net Training")
+
+        stage_list = list(stages) if stages is not None else list(range(1, max_stages + 1))
+        for stage in stage_list:
+            cfg = self.stage_configs[stage]
+            self._print(
+                f"\nStage {stage} — {cfg['resolution']}x{cfg['resolution']}"
+                + (f" (uncertainty alpha={self.uncertainty_alpha})" if stage > 1 else "")
+            )
+            if stage > 1:
+                self.transfer_weights(stage - 1, stage)
+            self.current_stage = stage
+            self.setup_optimizer(stage)
+            self.history["stage_transitions"].append(len(self.history["train_loss"]))
+
+            best_val_dice = 0.0
+            for epoch in range(cfg["epochs_per_stage"]):
+                t0 = time.time()
+                (tr_loss, tr_base, tr_dice, tr_acc, tr_um, tr_us) = self.train_epoch(
+                    train_loader, stage
+                )
+                (va_loss, va_base, va_dice, va_acc, va_um, va_us) = self.validate_epoch(
+                    val_loader, stage
+                )
+                self.history["train_loss"].append(tr_loss)
+                self.history["val_loss"].append(va_loss)
+                self.history["train_dice"].append(tr_dice)
+                self.history["val_dice"].append(va_dice)
+                self.history["uncertainty_weights_mean"].append(va_um)
+                self.history["uncertainty_weights_std"].append(va_us)
+                self.history["base_loss"].append(va_base)
+
+                self._print(
+                    f"Stage {stage}, Epoch {epoch + 1}/{cfg['epochs_per_stage']} "
+                    f"({time.time() - t0:.2f}s)\n"
+                    f"Train - Loss: {tr_loss:.4f}, Base: {tr_base:.4f}, "
+                    f"Dice: {tr_dice:.4f}, Acc: {tr_acc:.4f}\n"
+                    f"Val   - Loss: {va_loss:.4f}, Base: {va_base:.4f}, "
+                    f"Dice: {va_dice:.4f}, Acc: {va_acc:.4f}"
+                )
+
+                if va_dice > best_val_dice:
+                    best_val_dice = va_dice
+                    save_checkpoint(
+                        save_path / f"ug_pgunet_stage{stage}_best",
+                        self._state.variables,
+                        opt_state=self._state.opt_state,
+                        metadata={
+                            "stage": stage,
+                            "epoch": epoch,
+                            "val_dice": va_dice,
+                            "train_dice": tr_dice,
+                            "uncertainty_alpha": self.uncertainty_alpha,
+                            "history": self.history,
+                        },
+                    )
+        self._print("Uncertainty-guided progressive training completed!")
+        self.save_training_plots(save_path)
+        return self.history
+
+    # ------------------------------------------------------------------
+    def load_stage_weights(self, stage: int, checkpoint_path: str):
+        """Load variables for one stage from a checkpoint dir (ref: :469-473)."""
+        template = self._ensure_variables(stage)
+        variables, _, _ = load_checkpoint(checkpoint_path, variables_template=template)
+        self.variables[stage] = variables
+        self._print(f"Loaded weights for stage {stage} from {checkpoint_path}")
+
+    def save_uncertainty_analysis(self, data_loader: Iterable, stage: int, save_path):
+        """Uncertainty stats JSON for the first 10 batches (ref: :475-525)."""
+        if stage == 1:
+            self._print("No uncertainty analysis for stage 1 (base stage)")
+            return None
+        from ugpg_tpu.ops.resize import resize_bilinear_align_corners
+        from ugpg_tpu.uncertainty import generate_uncertainty_map
+
+        res = self.stage_configs[stage]["resolution"]
+        prev_res = self.stage_configs[stage - 1]["resolution"]
+        prev_vars = self.variables[stage - 1]
+        prev_module = self.modules[stage - 1]
+
+        @jax.jit
+        def unc(images):
+            x = resize_bilinear_align_corners(images, (res, res))
+            return generate_uncertainty_map(
+                lambda xp: prev_module.apply(prev_vars, xp, False), x, prev_res, res
+            )
+
+        stats = []
+        for batch_idx, batch in enumerate(data_loader):
+            if batch_idx >= 10:
+                break
+            amap = unc(jnp.asarray(batch[0]))
+            stats.append(
+                {
+                    "batch_idx": batch_idx,
+                    "uncertainty_mean": float(jnp.mean(amap)),
+                    "uncertainty_std": float(jnp.std(amap)),
+                    "uncertainty_min": float(jnp.min(amap)),
+                    "uncertainty_max": float(jnp.max(amap)),
+                }
+            )
+        out = Path(save_path) / f"uncertainty_stats_stage{stage}.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(stats, indent=2))
+        self._print(f"Uncertainty analysis saved for stage {stage}")
+        return stats
+
+    def save_training_plots(self, save_path):
+        """4-panel history plot (matplotlib-optional, ref: :400-467)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            self._print("matplotlib not available; skipping plots")
+            return None
+
+        h = self.history
+        epochs = range(len(h["train_loss"]))
+        fig, ((ax1, ax2), (ax3, ax4)) = plt.subplots(2, 2, figsize=(16, 12))
+        ax1.plot(epochs, h["train_loss"], label="Train Loss (Weighted)", alpha=0.7)
+        ax1.plot(epochs, h["val_loss"], label="Val Loss (Weighted)", alpha=0.7)
+        ax1.plot(epochs, h["base_loss"], "--", label="Base Loss (Unweighted)", alpha=0.7)
+        ax1.set_title("Loss (Uncertainty-Guided)")
+        ax2.plot(epochs, h["train_dice"], label="Train Dice")
+        ax2.plot(epochs, h["val_dice"], label="Val Dice")
+        ax2.set_title("Dice Coefficient")
+        um = np.array(h["uncertainty_weights_mean"])
+        us = np.array(h["uncertainty_weights_std"])
+        ax3.plot(epochs, um, label="Mean Uncertainty Weight")
+        if len(um):
+            ax3.fill_between(epochs, um - us, um + us, alpha=0.3, label="±1 Std")
+        ax3.set_title("Uncertainty Weights")
+        diff = np.array(h["val_loss"]) - np.array(h["base_loss"])
+        ax4.plot(epochs, diff, label="Weighted − Base", alpha=0.7)
+        ax4.axhline(0, color="black", alpha=0.3)
+        ax4.set_title("Impact of Uncertainty Weighting")
+        for ax in (ax1, ax2, ax3, ax4):
+            for t in h["stage_transitions"]:
+                ax.axvline(t, color="red", linestyle="--", alpha=0.5)
+            ax.set_xlabel("Epoch")
+            ax.legend()
+        fig.tight_layout()
+        out = Path(save_path) / "uncertainty_guided_training_plots.png"
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        self._print(f"Training plots saved to {out}")
+        return out

@@ -1,0 +1,328 @@
+"""Fused jit train/eval steps: the TPU-native core of the method.
+
+The reference runs, per batch: host->device copy, two F.interpolate resizes,
+the current-model forward, a *second* full forward through the frozen
+previous model (uncertainty), pointwise loss weighting, backward, optimizer
+step, then several ``.item()`` device syncs for metrics (ref call stack:
+SURVEY.md §3.1).  Here the entire chain is ONE compiled XLA program per
+(stage, task):
+
+    resize(img bilinear-ac, mask nearest) -> prev-model fwd (stop_grad)
+    -> uncertainty map -> current fwd (BN batch_stats threaded)
+    -> weighted BCE -> grads -> torch-RMSprop update -> on-device metrics
+
+No host syncs inside the loop; metrics come back as a small dict of scalars
+the host reads asynchronously.  ``donate_argnums`` recycles the parameter /
+optimizer buffers in place (HBM-friendly).
+
+One jitted step exists per (stage, resolution) pair — shape polymorphism is
+handled by compile-cache keys, not dynamic shapes (SURVEY §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ugpg_tpu.metrics.segmentation import dice_coefficient, get_predictions, pixel_accuracy
+from ugpg_tpu.ops.losses import bce_with_logits, softmax_cross_entropy, weighted_cross_entropy_mean
+from ugpg_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
+from ugpg_tpu.uncertainty import (
+    apply_uncertainty_weighted_loss,
+    classification_uncertainty_weights,
+    generate_uncertainty_map,
+)
+
+__all__ = ["TrainState", "make_seg_train_step", "make_seg_eval_step",
+           "make_cls_train_step", "make_cls_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    """Immutable training state (params + BN stats + optimizer state)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    @classmethod
+    def create(cls, variables: Mapping[str, Any], tx: optax.GradientTransformation):
+        return cls(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def _unc_stats(weights_or_map, is_stage1: bool):
+    if is_stage1:
+        z = jnp.zeros((), jnp.float32)
+        return z, z
+    return jnp.mean(weights_or_map), jnp.std(weights_or_map)
+
+
+def make_seg_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted segmentation train step for one stage.
+
+    Returns ``step(state, prev_variables, batch, pos_weight) ->
+    (state, metrics)`` where ``batch = (images NHWC, masks NHW1)`` at any
+    input resolution (resized in-graph), ``prev_variables`` is the frozen
+    previous-stage variable tree ({} for stage 1) and ``pos_weight`` is a
+    scalar array (dynamic: AugMoNuSeg recomputes it from data without
+    recompiling, ref: train_aug_monuseg.py:94-121).
+    """
+    use_unc = stage > 1 and prev_module is not None
+
+    def step(state: TrainState, prev_variables, batch, pos_weight):
+        images, masks = batch
+        x = resize_bilinear_align_corners(images, (resolution, resolution))
+        y = resize_nearest(masks, (resolution, resolution))
+
+        if use_unc:
+            def prev_apply(xp):
+                return prev_module.apply(prev_variables, xp, False)
+
+            unc_map = generate_uncertainty_map(
+                prev_apply, x, prev_resolution, resolution
+            )
+        else:
+            unc_map = None
+
+        def loss_fn(params):
+            logits, mutated = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                True,
+                mutable=["batch_stats"],
+            )
+            pixel_loss = bce_with_logits(logits, y, pos_weight)
+            final_loss, base_loss = apply_uncertainty_weighted_loss(
+                pixel_loss, unc_map, alpha
+            )
+            return final_loss, (base_loss, logits, mutated["batch_stats"])
+
+        (final_loss, (base_loss, logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        preds = get_predictions(logits)
+        unc_mean, unc_std = _unc_stats(unc_map, not use_unc)
+        metrics = {
+            "final_loss": final_loss,
+            "base_loss": base_loss,
+            "dice": dice_coefficient(preds, y),
+            "accuracy": pixel_accuracy(preds, y),
+            "uncertainty_weight_mean": unc_mean,
+            "uncertainty_weight_std": unc_std,
+        }
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_seg_eval_step(
+    module,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+) -> Callable:
+    """Jitted validation step: same losses/metrics, eval-mode BN, no update."""
+    use_unc = stage > 1 and prev_module is not None
+
+    def step(variables, prev_variables, batch, pos_weight):
+        images, masks = batch
+        x = resize_bilinear_align_corners(images, (resolution, resolution))
+        y = resize_nearest(masks, (resolution, resolution))
+
+        if use_unc:
+            def prev_apply(xp):
+                return prev_module.apply(prev_variables, xp, False)
+
+            unc_map = generate_uncertainty_map(
+                prev_apply, x, prev_resolution, resolution
+            )
+        else:
+            unc_map = None
+
+        logits = module.apply(variables, x, False)
+        pixel_loss = bce_with_logits(logits, y, pos_weight)
+        final_loss, base_loss = apply_uncertainty_weighted_loss(
+            pixel_loss, unc_map, alpha
+        )
+        preds = get_predictions(logits)
+        unc_mean, unc_std = _unc_stats(unc_map, not use_unc)
+        return {
+            "final_loss": final_loss,
+            "base_loss": base_loss,
+            "dice": dice_coefficient(preds, y),
+            "accuracy": pixel_accuracy(preds, y),
+            "uncertainty_weight_mean": unc_mean,
+            "uncertainty_weight_std": unc_std,
+        }
+
+    return jax.jit(step)
+
+
+def make_cls_train_step(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Classification train step (ref: Herlev/train_herlev.py:216-296).
+
+    ``step(state, prev_variables, batch, class_weights, rng) ->
+    (state, metrics)`` with ``batch = (images NHWC, labels (B,))``.
+    Base loss is class-weighted CE (torch weighted-mean semantics); the
+    uncertainty-weighted loss uses UNWEIGHTED per-sample CE, matching the
+    reference exactly (ref: train_herlev.py:279 uses F.cross_entropy without
+    class weights).
+    """
+    use_unc = stage > 1 and prev_module is not None
+
+    def step(state: TrainState, prev_variables, batch, class_weights, rng):
+        images, labels = batch
+        x = resize_bilinear_align_corners(images, (resolution, resolution))
+
+        if use_unc:
+            x_prev = resize_bilinear_align_corners(
+                x, (prev_resolution, prev_resolution)
+            )
+            prev_logits = prev_module.apply(prev_variables, x_prev, False)
+            unc_weights = classification_uncertainty_weights(
+                prev_logits, num_classes, alpha
+            )
+        else:
+            unc_weights = None
+
+        def loss_fn(params):
+            logits, mutated = module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            base_loss = weighted_cross_entropy_mean(logits, labels, class_weights)
+            if unc_weights is not None:
+                per_sample = softmax_cross_entropy(logits, labels)
+                final_loss = jnp.mean(per_sample * unc_weights)
+            else:
+                final_loss = base_loss
+            return final_loss, (base_loss, logits, mutated["batch_stats"])
+
+        (final_loss, (base_loss, logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
+        if unc_weights is not None:
+            unc_mean, unc_std = jnp.mean(unc_weights), jnp.std(unc_weights)
+        else:
+            unc_mean = unc_std = jnp.zeros((), jnp.float32)
+        metrics = {
+            "final_loss": final_loss,
+            "base_loss": base_loss,
+            "correct": correct,
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "uncertainty_weight_mean": unc_mean,
+            "uncertainty_weight_std": unc_std,
+        }
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_cls_eval_step(
+    module,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+) -> Callable:
+    use_unc = stage > 1 and prev_module is not None
+
+    def step(variables, prev_variables, batch, class_weights):
+        images, labels = batch
+        x = resize_bilinear_align_corners(images, (resolution, resolution))
+
+        if use_unc:
+            x_prev = resize_bilinear_align_corners(
+                x, (prev_resolution, prev_resolution)
+            )
+            prev_logits = prev_module.apply(prev_variables, x_prev, False)
+            unc_weights = classification_uncertainty_weights(
+                prev_logits, num_classes, alpha
+            )
+        else:
+            unc_weights = None
+
+        logits = module.apply(variables, x, False)
+        base_loss = weighted_cross_entropy_mean(logits, labels, class_weights)
+        if unc_weights is not None:
+            per_sample = softmax_cross_entropy(logits, labels)
+            final_loss = jnp.mean(per_sample * unc_weights)
+            unc_mean, unc_std = jnp.mean(unc_weights), jnp.std(unc_weights)
+        else:
+            final_loss = base_loss
+            unc_mean = unc_std = jnp.zeros((), jnp.float32)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
+        return {
+            "final_loss": final_loss,
+            "base_loss": base_loss,
+            "correct": correct,
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "uncertainty_weight_mean": unc_mean,
+            "uncertainty_weight_std": unc_std,
+            "logits": logits,
+        }
+
+    return jax.jit(step)
