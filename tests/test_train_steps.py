@@ -33,7 +33,7 @@ def test_stage1_train_step_learns():
     batch = (jnp.asarray(images), jnp.asarray(masks))
     losses, dices = [], []
     for _ in range(12):
-        state, m = step(state, {}, batch, POS_W)
+        state, m = step(state, {}, batch, POS_W, jax.random.key(0))
         losses.append(float(m["final_loss"]))
         dices.append(float(m["dice"]))
     assert losses[-1] < losses[0] * 0.7
@@ -51,7 +51,7 @@ def test_stage1_resizes_input_in_graph():
     step = make_seg_train_step(module, tx, 1, 32, donate=False)
     x = jnp.zeros((2, 64, 64, 3))
     y = jnp.zeros((2, 64, 64, 1))
-    state, m = step(state, {}, (x, y), POS_W)
+    state, m = step(state, {}, (x, y), POS_W, jax.random.key(0))
     assert np.isfinite(float(m["final_loss"]))
 
 
@@ -65,7 +65,7 @@ def test_stage2_uncertainty_step():
         m2, tx, 2, 64, prev_module=m1, prev_resolution=32, alpha=1.0, donate=False
     )
     images, masks = disk_dataset(num_samples=8, image_size=64, seed=3)
-    state, metrics = step(state, v1, (jnp.asarray(images), jnp.asarray(masks)), POS_W)
+    state, metrics = step(state, v1, (jnp.asarray(images), jnp.asarray(masks)), POS_W, jax.random.key(0))
     # weighted loss must exceed base loss (weights = 1 + alpha*A >= 1)
     assert float(metrics["final_loss"]) >= float(metrics["base_loss"])
     # untrained prev model -> probs near 0.5 -> uncertainty near 1
@@ -92,7 +92,20 @@ def test_dynamic_pos_weight_no_recompile():
     step = make_seg_train_step(module, tx, 1, 32, donate=False)
     images, masks = disk_dataset(num_samples=4, image_size=32)
     batch = (jnp.asarray(images), jnp.asarray(masks))
-    _, ma = step(state, {}, batch, jnp.asarray(1.0))
-    _, mb = step(state, {}, batch, jnp.asarray(10.0))
+    _, ma = step(state, {}, batch, jnp.asarray(1.0), jax.random.key(0))
+    _, mb = step(state, {}, batch, jnp.asarray(10.0), jax.random.key(0))
     # higher pos_weight -> higher loss on positive-heavy error
     assert float(mb["final_loss"]) != float(ma["final_loss"])
+
+
+def test_train_step_with_on_device_augment():
+    tx = torch_rmsprop(3e-4)
+    module = PGUNet1(num_classes=1)
+    state = _state(module, 32, tx)
+    step = make_seg_train_step(module, tx, 1, 32, donate=False, augment=True)
+    images, masks = disk_dataset(num_samples=4, image_size=32, seed=9)
+    batch = (jnp.asarray(images), jnp.asarray(masks))
+    s1, m1 = step(state, {}, batch, POS_W, jax.random.key(1))
+    s2, m2 = step(state, {}, batch, POS_W, jax.random.key(2))
+    # different augmentation keys -> different losses
+    assert float(m1["final_loss"]) != float(m2["final_loss"])

@@ -1,0 +1,382 @@
+"""HerlevTrainer: progressive classification trainer.
+
+Host-side engine matching the reference classification trainer's behavior
+(ref: Herlev/train_herlev.py:124-503):
+
+* stage resolutions {1:32, 2:64, 3:128, 4:224} (224, not 256, at stage 4;
+  ref: :134-139)
+* torch-parity Adam(weight_decay) + ReduceLROnPlateau(0.5, patience 5)
+  rebuilt per stage (ref: :178-194)
+* class-weighted CE base loss with auto-computed inverse-frequency weights
+  (ref: :170-176, herlev_dataset.py:262-280)
+* classifier-head-only weight transfer between stages (exact-shape match;
+  ref: :196-214)
+* entropy-based sample-wise uncertainty weighting for stages > 1
+  (ref: :216-296)
+* best-by-val-accuracy checkpoints embedding the full config (ref: :459-480),
+  early stopping (patience 15, ref: :485-487), history JSON (ref: :499-503)
+
+On-device path: the fused cls train step resizes + normalizes + (train)
+augments + runs the frozen prev-stage forward inside one XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ugpg_tpu.data.augment import augment_herlev_batch, imagenet_normalize
+from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
+from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
+from ugpg_tpu.train.optim import ReduceLROnPlateau, freeze_subtrees, torch_adam
+from ugpg_tpu.train.steps import TrainState, make_cls_eval_step, make_cls_train_step
+
+__all__ = ["HerlevTrainer", "create_config"]
+
+_HEAD_KEYS = ("fc1", "fc2", "fc3")
+
+
+def create_config() -> dict:
+    """Default Herlev config (ref: train_herlev.py:506-548, paths removed)."""
+    return {
+        "data_dir": None,
+        "binary_classification": False,
+        "num_classes": 7,
+        "pretrained_unet_paths": {},
+        "batch_size": 16,
+        "epochs_per_stage": 30,
+        "stages": [1, 2, 3, 4],
+        "num_workers": 4,
+        "log_interval": 10,
+        "early_stopping_patience": 15,
+        "weight_decay": 1e-4,
+        "class_weights": None,
+        "uncertainty_alpha": 1.0,
+        "split_ratios": {"train": 0.7, "val": 0.2, "test": 0.1},
+        "output_dir": "./herlev_outputs",
+    }
+
+
+class HerlevTrainer:
+    """Progressive trainer for Herlev cervical-cell classification."""
+
+    def __init__(self, config: Mapping[str, Any], dtype=None, axis_name=None, seed=0):
+        self.config = dict(config)
+        k = self.config["num_classes"]
+        epochs = self.config.get("epochs_per_stage", 30)
+        self.stage_configs = {
+            s: {"resolution": CLS_STAGE_RESOLUTIONS[s],
+                "epochs": epochs,
+                "lr": 3e-4 if s == 1 else 1e-4}
+            for s in (1, 2, 3, 4)
+        }
+        self.uncertainty_alpha = self.config.get("uncertainty_alpha", 1.0)
+        self.verbose = self.config.get("verbose", True)
+        self._print = print if self.verbose else (lambda *a, **kw: None)
+
+        self.modules = {
+            s: HerlevClassificationModel(
+                stage=s, num_classes=k, axis_name=axis_name, dtype=dtype
+            )
+            for s in (1, 2, 3, 4)
+        }
+        rngs = jax.random.split(jax.random.key(seed), 5)
+        self._init_rngs = {s: rngs[s - 1] for s in (1, 2, 3, 4)}
+        self._drop_key = rngs[4]
+        self.variables: dict[int, Any] = {}
+        self.current_stage = 1
+
+        cw = self.config.get("class_weights")
+        self.class_weights = (
+            jnp.asarray(cw, jnp.float32) if cw is not None else None
+        )
+
+        self._tx = None
+        self._state: TrainState | None = None
+        self._scheduler: ReduceLROnPlateau | None = None
+        self._train_steps: dict[tuple, Any] = {}
+        self._eval_steps: dict[int, Any] = {}
+
+        self.history = {
+            "train_loss": [], "val_loss": [],
+            "train_acc": [], "val_acc": [],
+            "uncertainty_weights_mean": [], "uncertainty_weights_std": [],
+            "base_loss": [],
+            "stage_transitions": [],
+        }
+
+        # optional pretrained segmentation encoders (ref: :51-56, :79-81)
+        for s, path in (self.config.get("pretrained_unet_paths") or {}).items():
+            if path and os.path.exists(str(path)):
+                self.load_pretrained_unet(int(s), path)
+
+    # ------------------------------------------------------------------
+    def _ensure_variables(self, stage: int):
+        if stage not in self.variables:
+            res = self.stage_configs[stage]["resolution"]
+            x = jnp.zeros((1, res, res, 3), jnp.float32)
+            self.variables[stage] = self.modules[stage].init(
+                self._init_rngs[stage], x, False
+            )
+        return self.variables[stage]
+
+    def load_pretrained_unet(self, stage: int, ckpt_path: str):
+        """Merge a pretrained PGUNet checkpoint into the stage encoder and
+        mark it frozen (ref: train_herlev.py:51-56, 79-81)."""
+        self._print(f"Loading pretrained U-Net weights from: {ckpt_path}")
+        variables = self._ensure_variables(stage)
+        seg_vars, _, _ = load_checkpoint(ckpt_path)
+        # nest the seg tree under the encoder scope and name-merge
+        nested = {
+            coll: {"unet": sub} for coll, sub in seg_vars.items()
+        }
+        merged, copied = transfer_weights(nested, variables)
+        self.variables[stage] = merged
+        self._frozen_stages = getattr(self, "_frozen_stages", set())
+        self._frozen_stages.add(stage)
+        self._print(f"  merged {len(copied)} encoder keys; encoder frozen")
+
+    def setup_optimizer_scheduler(self, stage: int):
+        """Adam + plateau scheduler for the stage (ref: :178-194)."""
+        tx = torch_adam(
+            self.stage_configs[stage]["lr"],
+            weight_decay=self.config.get("weight_decay", 1e-4),
+        )
+        if stage in getattr(self, "_frozen_stages", set()):
+            tx = freeze_subtrees(tx, ("unet",))
+        self._tx = tx
+        self._state = TrainState.create(self._ensure_variables(stage), tx)
+        self._scheduler = ReduceLROnPlateau(factor=0.5, patience=5)
+        # step functions close over tx; rebuild for this stage
+        self._train_steps.pop(stage, None)
+        return tx
+
+    def transfer_weights(self, prev_stage: int, current_stage: int):
+        """Classifier-head-only transfer on exact shape match (ref: :196-214)."""
+        self._print(f"Transferring weights from stage {prev_stage} to {current_stage}")
+        prev = flatten_tree(self._ensure_variables(prev_stage))
+        cur = dict(flatten_tree(self._ensure_variables(current_stage)))
+        copied = 0
+        for path, pv in prev.items():
+            if len(path) >= 2 and path[1] in _HEAD_KEYS and path in cur:
+                if pv.shape == cur[path].shape:
+                    cur[path] = jnp.copy(pv)
+                    copied += 1
+        self.variables[current_stage] = unflatten_tree(cur)
+        self._print(f"  Transferred {copied} classifier tensors")
+
+    # ------------------------------------------------------------------
+    def _get_train_step(self, stage: int):
+        if self._tx is None or self._state is None:
+            self.setup_optimizer_scheduler(stage)
+        if stage not in self._train_steps:
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = (
+                self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            )
+            base = make_cls_train_step(
+                self.modules[stage],
+                self._tx,
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.config["num_classes"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+            )
+            self._train_steps[stage] = base
+        return self._train_steps[stage]
+
+    def _get_eval_step(self, stage: int):
+        if stage not in self._eval_steps:
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = (
+                self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            )
+            self._eval_steps[stage] = make_cls_eval_step(
+                self.modules[stage],
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.config["num_classes"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+            )
+        return self._eval_steps[stage]
+
+    def _prev_variables(self, stage: int):
+        return self._ensure_variables(stage - 1) if stage > 1 else {}
+
+    def _prep_batch(self, batch, train: bool):
+        """Device-side: [0,1] RGB -> (augment if train) -> ImageNet norm."""
+        images, labels = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+        if train and self.config.get("augment", True):
+            self._drop_key, k = jax.random.split(self._drop_key)
+            images = augment_herlev_batch(k, images)
+        images = imagenet_normalize(images)
+        return images, labels
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, dataloader: Iterable, stage: int):
+        step_fn = self._get_train_step(stage)
+        prev_vars = self._prev_variables(stage)
+        cw = self.class_weights
+        totals = {"final_loss": 0.0, "base_loss": 0.0, "um": 0.0, "us": 0.0}
+        correct = 0
+        count = 0
+        n_batches = 0
+        for batch_idx, batch in enumerate(dataloader):
+            self._drop_key, dk = jax.random.split(self._drop_key)
+            self._state, m = step_fn(
+                self._state, prev_vars, self._prep_batch(batch, True), cw, dk
+            )
+            totals["final_loss"] += float(m["final_loss"])
+            totals["base_loss"] += float(m["base_loss"])
+            totals["um"] += float(m["uncertainty_weight_mean"])
+            totals["us"] += float(m["uncertainty_weight_std"])
+            correct += int(m["correct"])
+            count += int(m["count"])
+            n_batches += 1
+            if self.verbose and batch_idx % self.config.get("log_interval", 10) == 0:
+                self._print(
+                    f"Stage {stage}, Batch {batch_idx} "
+                    f"Loss: {float(m['final_loss']):.6f} "
+                    f"Base: {float(m['base_loss']):.6f} "
+                    f"Acc: {100.0 * correct / max(count, 1):.2f}%"
+                )
+        self.variables[stage] = self._state.variables
+        n = max(n_batches, 1)
+        return (
+            totals["final_loss"] / n,
+            totals["base_loss"] / n,
+            100.0 * correct / max(count, 1),
+            totals["um"] / n,
+            totals["us"] / n,
+        )
+
+    def validate_epoch(self, dataloader: Iterable, stage: int):
+        step_fn = self._get_eval_step(stage)
+        prev_vars = self._prev_variables(stage)
+        variables = (
+            self._state.variables if self._state else self._ensure_variables(stage)
+        )
+        cw = self.class_weights
+        totals = {"final_loss": 0.0, "base_loss": 0.0, "um": 0.0, "us": 0.0}
+        correct = 0
+        count = 0
+        n_batches = 0
+        for batch in dataloader:
+            m = step_fn(variables, prev_vars, self._prep_batch(batch, False), cw)
+            totals["final_loss"] += float(m["final_loss"])
+            totals["base_loss"] += float(m["base_loss"])
+            totals["um"] += float(m["uncertainty_weight_mean"])
+            totals["us"] += float(m["uncertainty_weight_std"])
+            correct += int(m["correct"])
+            count += int(m["count"])
+            n_batches += 1
+        n = max(n_batches, 1)
+        return (
+            totals["final_loss"] / n,
+            totals["base_loss"] / n,
+            100.0 * correct / max(count, 1),
+            totals["um"] / n,
+            totals["us"] / n,
+        )
+
+    # ------------------------------------------------------------------
+    def train_progressive(self, train_loaders, val_loaders, save_dir: str):
+        """Stage loop with early stopping + best-acc checkpoints (ref: :404-503)."""
+        os.makedirs(save_dir, exist_ok=True)
+        for stage in self.config["stages"]:
+            cfg = self.stage_configs[stage]
+            self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
+            self.current_stage = stage
+            self.setup_optimizer_scheduler(stage)
+            if stage > 1:
+                self.transfer_weights(stage - 1, stage)
+                # rebuild state to pick up transferred variables
+                self._state = TrainState.create(
+                    self._ensure_variables(stage), self._tx
+                )
+
+            tl = train_loaders[stage] if isinstance(train_loaders, dict) else train_loaders
+            vl = val_loaders[stage] if isinstance(val_loaders, dict) else val_loaders
+
+            best_val_acc = 0.0
+            best_val_loss = float("inf")
+            epochs_without_improvement = 0
+            for epoch in range(cfg["epochs"]):
+                tr_loss, tr_base, tr_acc, tr_um, tr_us = self.train_epoch(tl, stage)
+                va_loss, va_base, va_acc, va_um, va_us = self.validate_epoch(vl, stage)
+
+                # plateau scheduler on val loss (ref: :439)
+                self._state = self._state.replace(
+                    opt_state=self._scheduler.step(va_loss, self._state.opt_state)
+                )
+
+                self.history["train_loss"].append(tr_loss)
+                self.history["val_loss"].append(va_loss)
+                self.history["train_acc"].append(tr_acc)
+                self.history["val_acc"].append(va_acc)
+                self.history["uncertainty_weights_mean"].append(va_um)
+                self.history["uncertainty_weights_std"].append(va_us)
+                self.history["base_loss"].append(va_base)
+
+                self._print(
+                    f"Stage {stage} Epoch {epoch + 1}/{cfg['epochs']} | "
+                    f"Train {tr_loss:.4f}/{tr_acc:.2f}% | "
+                    f"Val {va_loss:.4f}/{va_acc:.2f}%"
+                )
+
+                if va_acc > best_val_acc:
+                    best_val_acc = va_acc
+                    best_val_loss = va_loss
+                    epochs_without_improvement = 0
+                    save_checkpoint(
+                        Path(save_dir) / f"herlev_stage{stage}_best",
+                        self._state.variables,
+                        opt_state=self._state.opt_state,
+                        metadata={
+                            "stage": stage,
+                            "epoch": epoch + 1,
+                            "train_loss": tr_loss,
+                            "val_loss": va_loss,
+                            "train_acc": tr_acc,
+                            "val_acc": va_acc,
+                            "config": {
+                                k: v for k, v in self.config.items()
+                                if isinstance(v, (int, float, str, bool, list, dict, type(None)))
+                            },
+                        },
+                    )
+                    self._print(f"New best model saved! Val Acc: {va_acc:.2f}%")
+                else:
+                    epochs_without_improvement += 1
+
+                if epochs_without_improvement >= self.config.get(
+                    "early_stopping_patience", 15
+                ):
+                    self._print(
+                        f"Early stopping after {epochs_without_improvement} "
+                        "epochs without improvement"
+                    )
+                    break
+
+            self.history["stage_transitions"].append(
+                {"stage": stage, "best_val_acc": best_val_acc,
+                 "best_val_loss": best_val_loss}
+            )
+            self._print(f"Stage {stage} completed. Best Val Acc: {best_val_acc:.2f}%")
+
+        hist_path = os.path.join(save_dir, "training_history.json")
+        with open(hist_path, "w") as f:
+            json.dump(self.history, f, indent=2)
+        self._print(f"Training history saved to: {hist_path}")
+        return self.history

@@ -40,6 +40,7 @@ __all__ = [
     "ReduceLROnPlateau",
     "set_learning_rate",
     "get_learning_rate",
+    "freeze_subtrees",
 ]
 
 
@@ -126,13 +127,59 @@ def torch_adam(
     return make(lr=learning_rate)
 
 
+def _find_hyperparam_dicts(state, out):
+    """Recursively locate InjectHyperparamsState.hyperparams dicts (they can
+    be nested under multi_transform/masked wrappers)."""
+    if hasattr(state, "hyperparams") and isinstance(state.hyperparams, dict):
+        out.append(state.hyperparams)
+    if isinstance(state, (tuple, list)):
+        for item in state:
+            _find_hyperparam_dicts(item, out)
+    elif isinstance(state, dict):
+        for item in state.values():
+            _find_hyperparam_dicts(item, out)
+    elif hasattr(state, "_fields"):
+        for name in state._fields:
+            _find_hyperparam_dicts(getattr(state, name), out)
+    elif hasattr(state, "inner_states"):
+        _find_hyperparam_dicts(state.inner_states, out)
+    return out
+
+
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["lr"])
+    dicts = _find_hyperparam_dicts(opt_state, [])
+    if not dicts:
+        raise ValueError("no injected hyperparams found in optimizer state")
+    return float(dicts[0]["lr"])
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+    for hp in _find_hyperparam_dicts(opt_state, []):
+        if "lr" in hp:
+            hp["lr"] = jnp.asarray(lr, dtype=jnp.float32)
     return opt_state
+
+
+def freeze_subtrees(
+    tx: optax.GradientTransformation, frozen_roots: tuple[str, ...]
+) -> optax.GradientTransformation:
+    """Apply ``tx`` everywhere except under the named top-level subtrees,
+    which receive zero updates.
+
+    The TPU-functional equivalent of the reference's
+    ``param.requires_grad = False`` encoder freeze
+    (ref: Herlev/train_herlev.py:104-112).
+    """
+
+    def label(params):
+        return {
+            k: ("frozen" if k in frozen_roots else "train")
+            for k in params.keys()
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label
+    )
 
 
 @dataclass

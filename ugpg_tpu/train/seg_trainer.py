@@ -67,6 +67,7 @@ class UncertaintyGuidedProgressiveTrainer:
         axis_name: str | None = None,
         seed: int = 0,
         verbose: bool = True,
+        augment: bool = False,
     ):
         self.in_channels = in_channels
         self.num_classes = num_classes
@@ -77,6 +78,8 @@ class UncertaintyGuidedProgressiveTrainer:
             s: dict(cfg) for s, cfg in (stage_configs or DEFAULT_STAGE_CONFIGS).items()
         }
         self.verbose = verbose
+        self.augment = augment
+        self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
         self.modules = {
@@ -151,6 +154,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 prev_module=prev_module,
                 prev_resolution=prev_res,
                 alpha=self.uncertainty_alpha,
+                augment=self.augment,
             )
         return self._train_steps[stage]
 
@@ -185,8 +189,9 @@ class UncertaintyGuidedProgressiveTrainer:
         prev_vars = self._prev_variables(stage)
         acc: list[dict] = []
         for batch_idx, batch in enumerate(dataloader):
+            self._aug_key, sub = jax.random.split(self._aug_key)
             self._state, metrics = step_fn(
-                self._state, prev_vars, self._as_batch(batch), self.pos_weight
+                self._state, prev_vars, self._as_batch(batch), self.pos_weight, sub
             )
             acc.append(metrics)
             if self.verbose and batch_idx % 10 == 0:
@@ -238,6 +243,10 @@ class UncertaintyGuidedProgressiveTrainer:
 
         stage_list = list(stages) if stages is not None else list(range(1, max_stages + 1))
         for stage in stage_list:
+            # per-stage loader dicts (AugMoNuSeg path builds one loader per
+            # stage resolution, ref: train_aug_monuseg.py:196-212)
+            tl = train_loader[stage] if isinstance(train_loader, dict) else train_loader
+            vl = val_loader[stage] if isinstance(val_loader, dict) else val_loader
             cfg = self.stage_configs[stage]
             self._print(
                 f"\nStage {stage} — {cfg['resolution']}x{cfg['resolution']}"
@@ -253,10 +262,10 @@ class UncertaintyGuidedProgressiveTrainer:
             for epoch in range(cfg["epochs_per_stage"]):
                 t0 = time.time()
                 (tr_loss, tr_base, tr_dice, tr_acc, tr_um, tr_us) = self.train_epoch(
-                    train_loader, stage
+                    tl, stage
                 )
                 (va_loss, va_base, va_dice, va_acc, va_um, va_us) = self.validate_epoch(
-                    val_loader, stage
+                    vl, stage
                 )
                 self.history["train_loss"].append(tr_loss)
                 self.history["val_loss"].append(va_loss)

@@ -31,6 +31,7 @@ from flax import struct
 
 from ugpg_tpu.metrics.segmentation import dice_coefficient, get_predictions, pixel_accuracy
 from ugpg_tpu.ops.losses import bce_with_logits, softmax_cross_entropy, weighted_cross_entropy_mean
+from ugpg_tpu.data.augment import augment_monuseg_batch
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
 from ugpg_tpu.uncertainty import (
     apply_uncertainty_weighted_loss,
@@ -80,22 +81,27 @@ def make_seg_train_step(
     prev_resolution: int | None = None,
     alpha: float = 1.0,
     donate: bool = True,
+    augment: bool = False,
 ) -> Callable:
     """Build the jitted segmentation train step for one stage.
 
-    Returns ``step(state, prev_variables, batch, pos_weight) ->
+    Returns ``step(state, prev_variables, batch, pos_weight, rng) ->
     (state, metrics)`` where ``batch = (images NHWC, masks NHW1)`` at any
     input resolution (resized in-graph), ``prev_variables`` is the frozen
     previous-stage variable tree ({} for stage 1) and ``pos_weight`` is a
     scalar array (dynamic: AugMoNuSeg recomputes it from data without
-    recompiling, ref: train_aug_monuseg.py:94-121).
+    recompiling, ref: train_aug_monuseg.py:94-121).  With ``augment=True``
+    the fused on-device MoNuSeg augmentation (flips/rotation/color jitter)
+    runs inside the same XLA program, keyed by ``rng``.
     """
     use_unc = stage > 1 and prev_module is not None
 
-    def step(state: TrainState, prev_variables, batch, pos_weight):
+    def step(state: TrainState, prev_variables, batch, pos_weight, rng):
         images, masks = batch
         x = resize_bilinear_align_corners(images, (resolution, resolution))
         y = resize_nearest(masks, (resolution, resolution))
+        if augment:
+            x, y = augment_monuseg_batch(rng, x, y)
 
         if use_unc:
             def prev_apply(xp):
