@@ -1,0 +1,136 @@
+"""Evaluator + CLI end-to-end tests on synthetic datasets."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ugpg_tpu.io.checkpoint import save_checkpoint
+from ugpg_tpu.models.classifier import HerlevClassificationModel
+from ugpg_tpu.models.pgunet import PGUNet1
+
+from tests.test_data_herlev import write_herlev_tree
+from tests.test_data_monuseg import write_monuseg_tree
+
+
+@pytest.fixture(scope="module")
+def seg_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt")
+    module = PGUNet1(num_classes=1)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    return save_checkpoint(
+        tmp / "seg_stage1", variables,
+        metadata={"stage": 1, "val_dice": 0.5, "uncertainty_alpha": 1.0},
+    )
+
+
+@pytest.fixture(scope="module")
+def cls_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt_cls")
+    module = HerlevClassificationModel(stage=1, num_classes=7)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    return save_checkpoint(
+        tmp / "herlev_stage1", variables,
+        metadata={"stage": 1, "config": {"num_classes": 7,
+                                         "binary_classification": False}},
+    )
+
+
+def test_monuseg_evaluator_load_and_predict(seg_ckpt, rng):
+    from ugpg_tpu.eval.monuseg import MoNuSegEvaluator
+
+    ev = MoNuSegEvaluator(str(seg_ckpt))
+    assert ev.stage == 1 and ev.resolution == 32
+    img = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
+    mask, conf = ev.predict_image(img)
+    assert mask.shape == (100, 120)
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
+    assert 0.0 <= conf <= 1.0
+    m2, c2, unc = ev.predict_image(img, return_uncertainty=True)
+    assert unc.shape == (32, 32)
+    assert 0.0 <= unc.min() and unc.max() <= 1.0
+
+
+def test_monuseg_evaluator_dataset_eval(seg_ckpt, tmp_path, rng):
+    from ugpg_tpu.data.monuseg import MoNuSegDataset
+    from ugpg_tpu.eval.monuseg import MoNuSegEvaluator
+
+    root = write_monuseg_tree(tmp_path / "M", n_train=2, n_val=3, size=64)
+    ds = MoNuSegDataset(str(root), image_size=32, split="val", augment=False)
+    ev = MoNuSegEvaluator(str(seg_ckpt))
+    out = tmp_path / "eval.json"
+    results = ev.evaluate_dataset(ds, output_file=str(out))
+    for key in ("dice_mean", "iou_mean", "precision_mean", "recall_mean",
+                "specificity_mean", "accuracy_mean"):
+        assert key in results and 0.0 <= results[key] <= 1.0
+    assert results["num_samples"] == 3
+    assert json.loads(out.read_text())["dice_mean"] == results["dice_mean"]
+    # overlays
+    files = ev.test_random_images(ds, num_images=2, output_dir=tmp_path / "viz")
+    assert len(files) == 2 and all(Path(f).exists() for f in files)
+
+
+def test_monuseg_inferer(seg_ckpt, tmp_path, rng):
+    from PIL import Image
+
+    from ugpg_tpu.eval.monuseg import MoNuSegInferer
+
+    img_dir = tmp_path / "in"
+    img_dir.mkdir()
+    for i in range(2):
+        arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img{i}.png")
+    inf = MoNuSegInferer(str(seg_ckpt))
+    results = inf.infer_directory(str(img_dir), str(tmp_path / "out"))
+    assert len(results) == 2
+    assert (tmp_path / "out" / "img0_mask.png").exists()
+    assert (tmp_path / "out" / "img0_vis.png").exists()
+
+
+def test_herlev_evaluator(cls_ckpt, tmp_path):
+    from ugpg_tpu.data.herlev import HerlevDataset
+    from ugpg_tpu.eval.herlev import HerlevEvaluator
+
+    root = write_herlev_tree(tmp_path / "H")
+    ds = HerlevDataset(str(root), image_size=32, split="test", verbose=False)
+    ev = HerlevEvaluator(str(cls_ckpt))
+    results = ev.evaluate_dataset(ds, output_dir=str(tmp_path / "out"))
+    assert 0.0 <= results["accuracy"] <= 1.0
+    assert len(results["confusion_matrix"]) == 7
+    rep = results["classification_report"]
+    assert "macro avg" in rep and "weighted avg" in rep
+    assert (tmp_path / "out" / "confusion_matrix.png").exists()
+    assert (tmp_path / "out" / "class_metrics.png").exists()
+    grid = ev.plot_sample_predictions(ds, tmp_path / "grid.png", num_samples=4)
+    assert Path(grid).exists()
+    # single-image prediction
+    pred, name, probs = ev.predict_single(ds.samples[0])
+    assert probs.shape == (7,) and name == ev.class_names[pred]
+
+
+def test_test_monuseg_cli(seg_ckpt, tmp_path, rng, monkeypatch):
+    from ugpg_tpu.cli.test_monuseg import main
+
+    root = write_monuseg_tree(tmp_path / "M2", n_train=2, n_val=2, size=64)
+    monkeypatch.chdir(tmp_path)
+    results = main([
+        "--model", str(seg_ckpt),
+        "--data", str(root),
+        "--num_images", "1",
+        "--eval_full",
+        "--output_dir", str(tmp_path / "res"),
+    ])
+    assert "metrics" in results
+    assert (tmp_path / "res" / "evaluation_results.json").exists()
+
+
+def test_demo_cli(tmp_path, monkeypatch):
+    from ugpg_tpu.cli.demo import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["--demo", "alpha"])
+    main(["--demo", "uncertainty"])

@@ -1,0 +1,101 @@
+"""Herlev classification training CLI (ref: Herlev/train_herlev.py:592-653)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train Progressive U-Net for Herlev cervical-cell "
+        "classification"
+    )
+    p.add_argument("--stages", nargs="+", type=int, default=[1, 2, 3, 4])
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--binary", action="store_true",
+                   help="binary normal/abnormal classification")
+    p.add_argument("--uncertainty_alpha", type=float, default=1.0)
+    p.add_argument("--data_dir", type=str, required=False)
+    p.add_argument("--output_dir", type=str, default="./herlev_outputs")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ugpg_tpu.data.herlev import HerlevDataset
+    from ugpg_tpu.data.loader import DataLoader
+    from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    config = create_config()
+    config.update(
+        stages=args.stages,
+        epochs_per_stage=args.epochs,
+        batch_size=args.batch_size,
+        binary_classification=args.binary,
+        uncertainty_alpha=args.uncertainty_alpha,
+        output_dir=args.output_dir,
+    )
+    if args.data_dir:
+        config["data_dir"] = args.data_dir
+    if config["binary_classification"]:
+        config["num_classes"] = 2
+    if not config["data_dir"]:
+        raise SystemExit("--data_dir is required")
+
+    print("=== Herlev Cervical Cell Classification Training ===")
+    print(f"Classes: {config['num_classes']}  Stages: {config['stages']}  "
+          f"Epochs/stage: {config['epochs_per_stage']}")
+
+    # per-stage datasets at each stage resolution (ref: :551-589)
+    train_loaders, val_loaders = {}, {}
+    class_weights = None
+    for stage in range(1, 5):
+        size = CLS_STAGE_RESOLUTIONS[stage]
+        tr_ds = HerlevDataset(
+            config["data_dir"], image_size=size, split="train",
+            augment=True,
+            binary_classification=config["binary_classification"],
+            target_split_ratio=config["split_ratios"], verbose=(stage == 1),
+        )
+        va_ds = HerlevDataset(
+            config["data_dir"], image_size=size, split="val", augment=False,
+            binary_classification=config["binary_classification"],
+            target_split_ratio=config["split_ratios"], verbose=False,
+        )
+        train_loaders[stage] = DataLoader(
+            tr_ds, batch_size=config["batch_size"], shuffle=True,
+            num_workers=config["num_workers"], seed=42 + stage,
+        )
+        val_loaders[stage] = DataLoader(
+            va_ds, batch_size=config["batch_size"],
+            num_workers=config["num_workers"],
+        )
+        if class_weights is None:
+            class_weights = tr_ds.get_class_weights().tolist()
+
+    if config.get("class_weights") is None:
+        config["class_weights"] = class_weights
+        print(f"Computed class weights: {[round(w, 3) for w in class_weights]}")
+
+    trainer = HerlevTrainer(config, dtype=jnp.bfloat16 if args.bf16 else None)
+    try:
+        trainer.train_progressive(train_loaders, val_loaders, config["output_dir"])
+        cfg_path = os.path.join(config["output_dir"], "config.json")
+        with open(cfg_path, "w") as f:
+            json.dump(config, f, indent=2, default=str)
+        print(f"Configuration saved to: {cfg_path}")
+    except KeyboardInterrupt:
+        print("Training interrupted by user")
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

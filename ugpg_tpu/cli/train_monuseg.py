@@ -1,0 +1,138 @@
+"""MoNuSeg training CLI (ref: MoNuSegImprove/train_aug_monuseg.py:126-267).
+
+Accepts both the argparse flags the reference defines (--stages --epochs
+--batch_size --lr --uncertainty_alpha --resume) AND the --data_dir /
+--output_dir flags its README documents but its parser forgot
+(ref gap: README.md:63 vs train_aug_monuseg.py:166-173).
+
+Unlike the reference, --resume actually works: existing per-stage best
+checkpoints in the output dir are loaded and training restarts at the first
+stage without one (the reference parses --resume and never uses it,
+ref: train_aug_monuseg.py:172).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+
+def create_config() -> dict:
+    return {
+        "data_dir": "./data/MoNuSeg",
+        "output_dir": "./monuseg_outputs",
+        "stages": [1, 2, 3, 4],
+        "epochs_per_stage": 50,
+        "batch_size": 8,
+        "lr": None,  # per-stage defaults (3e-4 / 1e-4)
+        "uncertainty_alpha": 1.0,
+        "num_workers": 4,
+        "resume": False,
+    }
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train Uncertainty-Guided Progressive U-Net on MoNuSeg"
+    )
+    p.add_argument("--data_dir", type=str, help="MoNuSeg dataset root")
+    p.add_argument("--output_dir", type=str, help="output directory")
+    p.add_argument("--stages", nargs="+", type=int, default=[1, 2, 3, 4])
+    p.add_argument("--epochs", type=int, default=50, help="epochs per stage")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--uncertainty_alpha", type=float, default=1.0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from existing stage checkpoints in output_dir")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--plain", action="store_true",
+                   help="use the raw MoNuSegDataset instead of aug patches")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    config = create_config()
+    for key, val in (
+        ("data_dir", args.data_dir),
+        ("output_dir", args.output_dir),
+        ("lr", args.lr),
+    ):
+        if val is not None:
+            config[key] = val
+    config.update(
+        stages=args.stages,
+        epochs_per_stage=args.epochs,
+        batch_size=args.batch_size,
+        uncertainty_alpha=args.uncertainty_alpha,
+        resume=args.resume,
+    )
+
+    import jax.numpy as jnp
+
+    from ugpg_tpu.data.loader import DataLoader
+    from ugpg_tpu.data.monuseg import MoNuSegDataset, create_train_val_split
+    from ugpg_tpu.train.aug_trainer import AugMoNuSegTrainer, compute_pos_weight
+
+    trainer = AugMoNuSegTrainer(
+        config, dtype=jnp.bfloat16 if args.bf16 else None
+    )
+
+    if args.plain:
+        data_dir = config["data_dir"]
+        if not os.path.isdir(os.path.join(data_dir, "val")):
+            create_train_val_split(data_dir, val_ratio=0.2, seed=42)
+        for stage in config["stages"]:
+            res = trainer.stage_configs[stage]["resolution"]
+            trainer.train_datasets[stage] = MoNuSegDataset(
+                data_dir, image_size=res, split="train", augment=True
+            )
+            trainer.val_datasets[stage] = MoNuSegDataset(
+                data_dir, image_size=res, split="val", augment=False
+            )
+        pw = compute_pos_weight(trainer.train_datasets[config["stages"][0]])
+        trainer.pos_weight = jnp.asarray(pw, jnp.float32)
+        print(f"Auto-computed pos_weight: {pw:.4f}")
+    else:
+        trainer.setup_datasets(config["data_dir"], stages=tuple(config["stages"]))
+
+    train_loaders, val_loaders = trainer.make_loaders(
+        batch_size=config["batch_size"], num_workers=config["num_workers"]
+    )
+
+    stages = list(config["stages"])
+    if config["resume"]:
+        out = Path(config["output_dir"])
+        for stage in list(stages):
+            ckpt = out / f"ug_pgunet_stage{stage}_best"
+            if (ckpt / "variables.msgpack").exists():
+                trainer.load_stage_weights(stage, ckpt)
+                stages.remove(stage)
+                print(f"Resume: stage {stage} restored from {ckpt}")
+            else:
+                break
+        if not stages:
+            print("Resume: all requested stages already trained")
+            return trainer
+
+    try:
+        trainer.train_progressive(
+            train_loaders,
+            val_loaders,
+            save_dir=config["output_dir"],
+            stages=stages,
+        )
+    except KeyboardInterrupt:
+        print("Training interrupted by user")
+
+    cfg_path = Path(config["output_dir"]) / "config.json"
+    cfg_path.parent.mkdir(parents=True, exist_ok=True)
+    cfg_path.write_text(json.dumps(config, indent=2, default=str))
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

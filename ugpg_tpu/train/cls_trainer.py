@@ -312,6 +312,7 @@ class HerlevTrainer:
             best_val_acc = 0.0
             best_val_loss = float("inf")
             epochs_without_improvement = 0
+            saved_any = False
             for epoch in range(cfg["epochs"]):
                 tr_loss, tr_base, tr_acc, tr_um, tr_us = self.train_epoch(tl, stage)
                 va_loss, va_base, va_acc, va_um, va_us = self.validate_epoch(vl, stage)
@@ -335,10 +336,14 @@ class HerlevTrainer:
                     f"Val {va_loss:.4f}/{va_acc:.2f}%"
                 )
 
-                if va_acc > best_val_acc:
-                    best_val_acc = va_acc
+                # strict > like the reference, but guarantee at least one
+                # checkpoint per stage (a 0.0% first epoch would otherwise
+                # never save)
+                if va_acc > best_val_acc or not saved_any:
+                    best_val_acc = max(best_val_acc, va_acc)
                     best_val_loss = va_loss
                     epochs_without_improvement = 0
+                    saved_any = True
                     save_checkpoint(
                         Path(save_dir) / f"herlev_stage{stage}_best",
                         self._state.variables,
