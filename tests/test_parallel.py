@@ -1,0 +1,135 @@
+"""Sharding tests on the fake 8-device CPU mesh (SPMD over ICI design)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ugpg_tpu.models.pgunet import PGUNet1, PGUNet2
+from ugpg_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_variables,
+)
+from ugpg_tpu.train.optim import torch_rmsprop
+from ugpg_tpu.train.steps import TrainState, make_seg_train_step
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_param_shardings_tp_cuts_wide_convs():
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = PGUNet1(num_classes=1)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    sh = param_shardings(v, mesh)
+    wide = sh["params"]["down4"]["conv"]["conv1"]["kernel"]
+    assert wide.spec == P(None, None, None, "model")
+    bias = sh["params"]["down4"]["conv"]["conv1"]["bias"]
+    assert bias.spec == P()
+    # 1-class output head (1 channel) stays replicated
+    head = sh["params"]["outc"]["conv"]["kernel"]
+    assert head.spec == P()
+
+
+def test_dp_sharded_batch_layout():
+    mesh = make_mesh()
+    x = np.zeros((16, 8, 8, 3), np.float32)
+    xs = shard_batch((x,), mesh)[0]
+    assert xs.sharding.spec == P("data")
+    # each device holds 2 rows of the batch
+    assert xs.addressable_shards[0].data.shape[0] == 2
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """The sharded train step must produce the same numbers as unsharded."""
+    mesh = make_mesh()  # 8-way DP
+    m = PGUNet1(num_classes=1)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    tx = torch_rmsprop(3e-4)
+    images = rng.random((8, 32, 32, 3)).astype(np.float32)
+    masks = (rng.random((8, 32, 32, 1)) > 0.5).astype(np.float32)
+    pw = jnp.asarray(5.0)
+    key = jax.random.key(1)
+
+    step = make_seg_train_step(m, tx, 1, 32, donate=False)
+
+    # single-device reference
+    state0 = TrainState.create(v, tx)
+    s_ref, m_ref = step(state0, {}, (jnp.asarray(images), jnp.asarray(masks)), pw, key)
+
+    # sharded
+    v_sh = shard_variables(v, mesh)
+    state1 = TrainState.create(v_sh, tx)
+    batch = shard_batch((images, masks), mesh)
+    s_dp, m_dp = step(state1, {}, batch, pw, key)
+
+    np.testing.assert_allclose(
+        float(m_ref["final_loss"]), float(m_dp["final_loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_ref["dice"]), float(m_dp["dice"]), rtol=2e-5
+    )
+    # params agree after the update (global-batch BN + all-reduced grads).
+    # Caveat: RMSprop's first step is g/(0.1|g| + eps) ~ sign(g)*10*lr, so
+    # reduction-order noise on near-zero grads flips a few elements by
+    # ~2*10*lr = 6e-3 — inherent to the optimizer, not a sharding bug.
+    a = np.asarray(s_ref.params["inc"]["conv"]["conv1"]["kernel"])
+    b = np.asarray(s_dp.params["inc"]["conv"]["conv1"]["kernel"])
+    assert np.mean(np.abs(a - b)) < 1e-4
+    assert np.abs(a - b).max() < 2e-2
+
+
+def test_dp_tp_stage2_uncertainty_step(rng):
+    """Full stage-2 step (frozen prev fwd + weighted loss) on a 4x2 mesh."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    m1 = PGUNet1(num_classes=1)
+    m2 = PGUNet2(num_classes=1)
+    v1 = shard_variables(
+        m1.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False), mesh
+    )
+    v2 = shard_variables(
+        m2.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)), False), mesh
+    )
+    tx = torch_rmsprop(1e-4)
+    state = TrainState.create(v2, tx)
+    step = make_seg_train_step(
+        m2, tx, 2, 64, prev_module=m1, prev_resolution=32, donate=False
+    )
+    batch = shard_batch(
+        (
+            rng.random((8, 64, 64, 3)).astype(np.float32),
+            (rng.random((8, 64, 64, 1)) > 0.5).astype(np.float32),
+        ),
+        mesh,
+    )
+    new_state, metrics = step(state, v1, batch, jnp.asarray(5.0), jax.random.key(2))
+    assert np.isfinite(float(metrics["final_loss"]))
+    assert float(metrics["uncertainty_weight_mean"]) > 0.5
+    # TP layout preserved through the optimizer update
+    k = new_state.params["down4"]["conv"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, (variables, images) = ge.entry()
+    out = jax.jit(fn)(variables, images)
+    preds, probs, unc = out
+    assert preds.shape == (8, 256, 256, 1)
+    assert 0.0 <= float(unc.min()) and float(unc.max()) <= 1.0
+
+    ge.dryrun_multichip(8)
