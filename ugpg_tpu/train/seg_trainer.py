@@ -68,6 +68,7 @@ class UncertaintyGuidedProgressiveTrainer:
         seed: int = 0,
         verbose: bool = True,
         augment: bool = False,
+        fused_loss: bool = False,
     ):
         self.in_channels = in_channels
         self.num_classes = num_classes
@@ -79,6 +80,7 @@ class UncertaintyGuidedProgressiveTrainer:
         }
         self.verbose = verbose
         self.augment = augment
+        self.fused_loss = fused_loss
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -155,6 +157,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 prev_resolution=prev_res,
                 alpha=self.uncertainty_alpha,
                 augment=self.augment,
+                fused_loss=self.fused_loss,
             )
         return self._train_steps[stage]
 

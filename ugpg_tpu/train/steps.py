@@ -33,8 +33,10 @@ from ugpg_tpu.metrics.segmentation import dice_coefficient, get_predictions, pix
 from ugpg_tpu.ops.losses import bce_with_logits, softmax_cross_entropy, weighted_cross_entropy_mean
 from ugpg_tpu.data.augment import augment_monuseg_batch
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
+from ugpg_tpu.ops.pallas.uncertainty_fused import uncertainty_weighted_bce
 from ugpg_tpu.uncertainty import (
     apply_uncertainty_weighted_loss,
+    binary_uncertainty,
     classification_uncertainty_weights,
     generate_uncertainty_map,
 )
@@ -82,6 +84,7 @@ def make_seg_train_step(
     alpha: float = 1.0,
     donate: bool = True,
     augment: bool = False,
+    fused_loss: bool = False,
 ) -> Callable:
     """Build the jitted segmentation train step for one stage.
 
@@ -92,7 +95,10 @@ def make_seg_train_step(
     scalar array (dynamic: AugMoNuSeg recomputes it from data without
     recompiling, ref: train_aug_monuseg.py:94-121).  With ``augment=True``
     the fused on-device MoNuSeg augmentation (flips/rotation/color jitter)
-    runs inside the same XLA program, keyed by ``rng``.
+    runs inside the same XLA program, keyed by ``rng``.  With
+    ``fused_loss=True`` the loss + its VJP run as Pallas kernels
+    (single-pass HBM reduction, no per-pixel loss tensor kept for the
+    backward; see ops/pallas/uncertainty_fused.py).
     """
     use_unc = stage > 1 and prev_module is not None
 
@@ -104,13 +110,18 @@ def make_seg_train_step(
             x, y = augment_monuseg_batch(rng, x, y)
 
         if use_unc:
-            def prev_apply(xp):
-                return prev_module.apply(prev_variables, xp, False)
-
-            unc_map = generate_uncertainty_map(
-                prev_apply, x, prev_resolution, resolution
+            x_prev = resize_bilinear_align_corners(
+                x, (prev_resolution, prev_resolution)
             )
+            probs_prev = jax.nn.sigmoid(
+                prev_module.apply(prev_variables, x_prev, False)
+            )
+            probs_up = jax.lax.stop_gradient(
+                resize_bilinear_align_corners(probs_prev, (resolution, resolution))
+            )
+            unc_map = jax.lax.stop_gradient(binary_uncertainty(probs_up))
         else:
+            probs_up = None
             unc_map = None
 
         def loss_fn(params):
@@ -120,10 +131,16 @@ def make_seg_train_step(
                 True,
                 mutable=["batch_stats"],
             )
-            pixel_loss = bce_with_logits(logits, y, pos_weight)
-            final_loss, base_loss = apply_uncertainty_weighted_loss(
-                pixel_loss, unc_map, alpha
-            )
+            if fused_loss:
+                p_arg = probs_up if use_unc else jnp.full_like(logits, 0.5)
+                final_loss, base_loss = uncertainty_weighted_bce(
+                    logits, y, p_arg, pos_weight, alpha if use_unc else 0.0
+                )
+            else:
+                pixel_loss = bce_with_logits(logits, y, pos_weight)
+                final_loss, base_loss = apply_uncertainty_weighted_loss(
+                    pixel_loss, unc_map, alpha
+                )
             return final_loss, (base_loss, logits, mutated["batch_stats"])
 
         (final_loss, (base_loss, logits, new_bs)), grads = jax.value_and_grad(
