@@ -115,3 +115,25 @@ def test_classification_weights_uniform_logits_max():
     logits = jnp.zeros((3, 7))
     w = np.asarray(classification_uncertainty_weights(logits, 7, alpha=1.0))
     np.testing.assert_allclose(w, 2.0, atol=1e-4)
+
+
+def test_uncertainty_guided_loss_class_facade(rng):
+    """Reference-API class facade (ref: UG_unet.py:8-94)."""
+    from ugpg_tpu import UncertaintyGuidedLoss, create_uncertainty_weighted_loss_fn
+
+    ugl = UncertaintyGuidedLoss(device="tpu")  # device accepted, ignored
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+
+    def prev_apply(xp):
+        return xp[..., :1] * 2 - 1
+
+    amap = ugl.generate_uncertainty_map(x, prev_apply, 32, 64)
+    assert amap.shape == (2, 64, 64, 1)
+
+    loss_fn = create_uncertainty_weighted_loss_fn(pos_weight=5.0)
+    out = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    tgt = (jnp.asarray(rng.random((2, 64, 64, 1))) > 0.5).astype(jnp.float32)
+    final, base = ugl.apply_uncertainty_weighted_loss(loss_fn, out, tgt, amap, 1.0)
+    assert float(final) >= float(base)
+    final1, base1 = ugl.apply_uncertainty_weighted_loss(loss_fn, out, tgt, None)
+    np.testing.assert_allclose(float(final1), float(base1))

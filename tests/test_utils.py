@@ -1,0 +1,91 @@
+"""Config dataclasses, profiling utils, CSV training log."""
+
+import csv
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ugpg_tpu.utils.config import (
+    HerlevTrainConfig,
+    SegTrainConfig,
+    apply_overrides,
+    load_config,
+    save_config,
+)
+from ugpg_tpu.utils.profiling import CSVLogger, StepTimer, annotate
+
+
+def test_seg_config_defaults_match_reference():
+    cfg = SegTrainConfig()
+    sc = cfg.stage_configs()
+    assert sc[1]["lr"] == 3e-4 and sc[2]["lr"] == 1e-4
+    assert sc[4]["resolution"] == 256
+    assert cfg.batch_size == 8 and cfg.weight_decay == 1e-4
+
+
+def test_herlev_config_binary_num_classes():
+    cfg = HerlevTrainConfig(binary_classification=True)
+    assert cfg.as_trainer_config()["num_classes"] == 2
+    assert HerlevTrainConfig().as_trainer_config()["num_classes"] == 7
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = SegTrainConfig(stages=[1, 2], epochs_per_stage=3, bf16=True)
+    p = save_config(cfg, tmp_path / "cfg.json")
+    back = load_config(p)
+    assert back == cfg
+    hcfg = HerlevTrainConfig(pretrained_unet_paths={2: "/x"}, data_dir="/d")
+    back2 = load_config(save_config(hcfg, tmp_path / "h.json"))
+    assert back2.pretrained_unet_paths == {2: "/x"}
+
+
+def test_apply_overrides():
+    cfg = SegTrainConfig()
+    out = apply_overrides(cfg, batch_size=16, data_dir=None)
+    assert out.batch_size == 16 and out.data_dir == cfg.data_dir
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(5):
+        with t:
+            time.sleep(0.002)
+    s = t.summary()
+    assert s["steps"] == 5 and s["mean_s"] >= 0.002
+    assert t.ema is not None
+
+
+def test_annotate_noop():
+    with annotate("region"):
+        pass
+
+
+def test_csv_logger(tmp_path):
+    log = CSVLogger(tmp_path / "log.csv", ["a", "b"])
+    log.log(a=1, b=2)
+    log.log(a=3)  # missing field -> empty
+    rows = list(csv.DictReader(open(tmp_path / "log.csv")))
+    assert rows[0] == {"a": "1", "b": "2"}
+    assert rows[1]["b"] == ""
+    # append-safe: reopening keeps existing rows
+    log2 = CSVLogger(tmp_path / "log.csv", ["a", "b"])
+    log2.log(a=5, b=6)
+    assert len(list(csv.DictReader(open(tmp_path / "log.csv")))) == 3
+
+
+def test_trainer_writes_training_log(tmp_path):
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    images, masks = disk_dataset(num_samples=8, image_size=32, seed=5)
+    loader = ArrayLoader(images, masks, batch_size=4)
+    cfgs = {1: {"resolution": 32, "epochs_per_stage": 2, "lr": 3e-4}}
+    tr = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
+    tr.train_progressive(loader, loader, max_stages=1, save_dir=tmp_path)
+    rows = list(csv.DictReader(open(tmp_path / "training_log.csv")))
+    assert len(rows) == 2
+    assert rows[0]["stage"] == "1" and float(rows[0]["lr"]) == pytest.approx(3e-4)
+    assert float(rows[1]["train_dice"]) > 0

@@ -10,8 +10,10 @@ from ugpg_tpu.models.pgunet import PGUNet1, PGUNet2, PGUNet3, PGUNet4, UNet
 from ugpg_tpu.models.progressive import ProgressiveUNet
 from ugpg_tpu.models.classifier import HerlevClassificationModel
 from ugpg_tpu.uncertainty import (
+    UncertaintyGuidedLoss,
     apply_uncertainty_weighted_loss,
     binary_uncertainty,
+    create_uncertainty_weighted_loss_fn,
     entropy_uncertainty,
     generate_uncertainty_map,
 )
@@ -26,7 +28,9 @@ __all__ = [
     "UNet",
     "ProgressiveUNet",
     "HerlevClassificationModel",
+    "UncertaintyGuidedLoss",
     "binary_uncertainty",
+    "create_uncertainty_weighted_loss_fn",
     "entropy_uncertainty",
     "generate_uncertainty_map",
     "apply_uncertainty_weighted_loss",

@@ -35,8 +35,14 @@ from ugpg_tpu.data.augment import augment_herlev_batch, imagenet_normalize
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
 from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
-from ugpg_tpu.train.optim import ReduceLROnPlateau, freeze_subtrees, torch_adam
+from ugpg_tpu.train.optim import (
+    ReduceLROnPlateau,
+    freeze_subtrees,
+    get_learning_rate,
+    torch_adam,
+)
 from ugpg_tpu.train.steps import TrainState, make_cls_eval_step, make_cls_train_step
+from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["HerlevTrainer", "create_config"]
 
@@ -294,6 +300,11 @@ class HerlevTrainer:
     def train_progressive(self, train_loaders, val_loaders, save_dir: str):
         """Stage loop with early stopping + best-acc checkpoints (ref: :404-503)."""
         os.makedirs(save_dir, exist_ok=True)
+        csv_log = CSVLogger(
+            Path(save_dir) / "training_log.csv",
+            ["stage", "epoch", "train_loss", "val_loss", "train_acc",
+             "val_acc", "base_loss", "uncertainty_mean", "lr"],
+        )
         for stage in self.config["stages"]:
             cfg = self.stage_configs[stage]
             self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
@@ -329,6 +340,14 @@ class HerlevTrainer:
                 self.history["uncertainty_weights_mean"].append(va_um)
                 self.history["uncertainty_weights_std"].append(va_us)
                 self.history["base_loss"].append(va_base)
+                csv_log.log(
+                    stage=stage, epoch=epoch + 1,
+                    train_loss=round(tr_loss, 6), val_loss=round(va_loss, 6),
+                    train_acc=round(tr_acc, 4), val_acc=round(va_acc, 4),
+                    base_loss=round(va_base, 6),
+                    uncertainty_mean=round(va_um, 6),
+                    lr=get_learning_rate(self._state.opt_state),
+                )
 
                 self._print(
                     f"Stage {stage} Epoch {epoch + 1}/{cfg['epochs']} | "

@@ -30,8 +30,9 @@ import numpy as np
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
 from ugpg_tpu.progressive.transfer import transfer_weights
-from ugpg_tpu.train.optim import torch_rmsprop
+from ugpg_tpu.train.optim import get_learning_rate, torch_rmsprop
 from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
+from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["UncertaintyGuidedProgressiveTrainer", "DEFAULT_STAGE_CONFIGS"]
 
@@ -242,6 +243,13 @@ class UncertaintyGuidedProgressiveTrainer:
         """Full progressive loop: stages 1..max_stages (ref: :316-398)."""
         save_path = Path(save_dir)
         save_path.mkdir(parents=True, exist_ok=True)
+        # the training_log.csv the reference README promises but never writes
+        csv_log = CSVLogger(
+            save_path / "training_log.csv",
+            ["stage", "epoch", "train_loss", "val_loss", "train_dice",
+             "val_dice", "train_acc", "val_acc", "base_loss",
+             "uncertainty_mean", "lr", "epoch_time_s"],
+        )
         self._print("Starting Uncertainty-Guided Progressive Growing U-Net Training")
 
         stage_list = list(stages) if stages is not None else list(range(1, max_stages + 1))
@@ -277,6 +285,16 @@ class UncertaintyGuidedProgressiveTrainer:
                 self.history["uncertainty_weights_mean"].append(va_um)
                 self.history["uncertainty_weights_std"].append(va_us)
                 self.history["base_loss"].append(va_base)
+                csv_log.log(
+                    stage=stage, epoch=epoch + 1,
+                    train_loss=round(tr_loss, 6), val_loss=round(va_loss, 6),
+                    train_dice=round(tr_dice, 6), val_dice=round(va_dice, 6),
+                    train_acc=round(tr_acc, 6), val_acc=round(va_acc, 6),
+                    base_loss=round(va_base, 6),
+                    uncertainty_mean=round(va_um, 6),
+                    lr=get_learning_rate(self._state.opt_state),
+                    epoch_time_s=round(time.time() - t0, 3),
+                )
 
                 self._print(
                     f"Stage {stage}, Epoch {epoch + 1}/{cfg['epochs_per_stage']} "

@@ -108,3 +108,56 @@ def classification_uncertainty_weights(
     axes = tuple(range(1, unc.ndim))
     unc = jnp.mean(unc, axis=axes) if axes else unc
     return jax.lax.stop_gradient(1.0 + alpha * unc)
+
+
+class UncertaintyGuidedLoss:
+    """API-parity facade over the pure functions above.
+
+    The reference exposes ``UncertaintyGuidedLoss(device)`` with
+    ``generate_uncertainty_map`` / ``apply_uncertainty_weighted_loss``
+    methods (ref: UG_unet.py:8-94).  JAX needs no device handle — the
+    argument is accepted and ignored for drop-in compatibility.  Prefer the
+    module-level functions in new code; they jit/fuse into the train step.
+    """
+
+    def __init__(self, device=None):
+        self.device = device
+
+    def generate_uncertainty_map(
+        self, input_current, prev_apply, prev_resolution, current_resolution
+    ):
+        """``prev_apply``: callable running the frozen previous-stage model
+        in eval mode (a bound ``module.apply`` closure replaces the torch
+        module handle)."""
+        return generate_uncertainty_map(
+            prev_apply, input_current, prev_resolution, current_resolution
+        )
+
+    def apply_uncertainty_weighted_loss(
+        self, loss_fn, output_current, target_current,
+        uncertainty_map=None, alpha=1.0,
+    ):
+        """``loss_fn(outputs, targets) -> per-pixel loss`` (reduction-free),
+        mirroring the reference's reduction='none' contract.  Returns
+        (final_loss, base_loss) like the reference (base as a traceable
+        scalar rather than a Python float — call ``float()`` to match)."""
+        pixel_loss = loss_fn(output_current, target_current)
+        return apply_uncertainty_weighted_loss(pixel_loss, uncertainty_map, alpha)
+
+
+def create_uncertainty_weighted_loss_fn(base_loss_fn=None, pos_weight=None):
+    """Reduction-free BCE factory (ref: UG_unet.py:107-129).
+
+    The reference rebuilds a torch loss with reduction='none'; here losses
+    are already pure per-element functions, so this returns a closure over
+    ``bce_with_logits`` with the given pos_weight (or passes through a
+    user-provided per-element loss_fn unchanged).
+    """
+    if base_loss_fn is not None:
+        return base_loss_fn
+    from ugpg_tpu.ops.losses import bce_with_logits
+
+    def loss_fn(outputs, targets):
+        return bce_with_logits(outputs, targets, pos_weight)
+
+    return loss_fn
