@@ -91,3 +91,44 @@ if __name__ == "__main__":
     args = p.parse_args()
     res = bench_inference(args.batch, args.iters)
     print(json.dumps(res))
+
+
+def bench_stage1_train(batch: int = 16, iters: int = 10, warmup: int = 2) -> dict:
+    """BASELINE.json config 1: stage-1 32x32 binary seg fwd/bwd, batch 16."""
+    enc = [(3, 512), (512, 512)]
+    dec = [(1024, 256)]
+
+    class Stage1(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.ModuleList(block(i, o) for i, o in enc)
+            self.decoder = nn.ModuleList(block(i, o) for i, o in dec)
+            self.head = nn.Conv2d(256, 1, 1)
+
+        def forward(self, x):
+            x1 = self.encoder[0](x)
+            x2 = self.encoder[1](F.max_pool2d(x1, 2))
+            u = F.interpolate(x2, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+            return self.head(self.decoder[0](torch.cat([x1, u], 1)))
+
+    model = Stage1().train()
+    opt = torch.optim.RMSprop(model.parameters(), lr=3e-4, weight_decay=1e-4)
+    crit = nn.BCEWithLogitsLoss(pos_weight=torch.tensor([5.0]))
+    x = torch.rand(batch, 3, 32, 32)
+    y = (torch.rand(batch, 1, 32, 32) > 0.7).float()
+
+    def step():
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return {"train_img_per_s": batch * iters / dt,
+            "ms_per_step": 1e3 * dt / iters, "batch": batch}

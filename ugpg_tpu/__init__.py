@@ -18,6 +18,19 @@ from ugpg_tpu.uncertainty import (
     generate_uncertainty_map,
 )
 
+# data / training / evaluation layers (imported lazily by most users via
+# submodules; the flat names here mirror the reference's public surface)
+from ugpg_tpu.data.herlev import HerlevDataset, create_herlev_splits
+from ugpg_tpu.data.monuseg import (
+    AugMoNuSegDataset,
+    MoNuSegDataset,
+    create_train_val_split,
+)
+from ugpg_tpu.data.rasterize import xml_to_mask
+from ugpg_tpu.train.aug_trainer import AugMoNuSegTrainer
+from ugpg_tpu.train.cls_trainer import HerlevTrainer
+from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -34,4 +47,13 @@ __all__ = [
     "entropy_uncertainty",
     "generate_uncertainty_map",
     "apply_uncertainty_weighted_loss",
+    "MoNuSegDataset",
+    "AugMoNuSegDataset",
+    "HerlevDataset",
+    "create_train_val_split",
+    "create_herlev_splits",
+    "xml_to_mask",
+    "UncertaintyGuidedProgressiveTrainer",
+    "AugMoNuSegTrainer",
+    "HerlevTrainer",
 ]
