@@ -27,6 +27,11 @@ TORCH_CPU_BASELINE_IMG_S = 1.29  # tools/baseline_torch.py on this host
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated driver runs skip the (remote)
+    # compile entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from ugpg_tpu.models.pgunet import PGUNet4

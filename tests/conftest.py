@@ -23,6 +23,10 @@ import jax  # noqa: E402
 # local fake-8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: the suite compiles ~100 XLA programs; cache
+# makes re-runs dramatically faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

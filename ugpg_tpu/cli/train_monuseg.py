@@ -45,7 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--uncertainty_alpha", type=float, default=1.0)
     p.add_argument("--resume", action="store_true",
-                   help="resume from existing stage checkpoints in output_dir")
+                   help="resume from existing stage checkpoints in output_dir "
+                        "(mid-stage when _last checkpoints exist)")
+    p.add_argument("--checkpoint_every", type=int, default=5,
+                   help="write a rolling _last checkpoint every N epochs")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (TPU fast path)")
     p.add_argument("--plain", action="store_true",
@@ -105,13 +108,18 @@ def main(argv=None):
 
     stages = list(config["stages"])
     if config["resume"]:
+        # stage-granularity resume for runs that only have _best checkpoints;
+        # mid-stage resume (from _last) is handled inside train_progressive.
         out = Path(config["output_dir"])
         for stage in list(stages):
-            ckpt = out / f"ug_pgunet_stage{stage}_best"
-            if (ckpt / "variables.msgpack").exists():
-                trainer.load_stage_weights(stage, ckpt)
+            best = out / f"ug_pgunet_stage{stage}_best"
+            last = out / f"ug_pgunet_stage{stage}_last"
+            if (best / "variables.msgpack").exists() and not (
+                last / "variables.msgpack"
+            ).exists():
+                trainer.load_stage_weights(stage, best)
                 stages.remove(stage)
-                print(f"Resume: stage {stage} restored from {ckpt}")
+                print(f"Resume: stage {stage} restored from {best}")
             else:
                 break
         if not stages:
@@ -124,6 +132,8 @@ def main(argv=None):
             val_loaders,
             save_dir=config["output_dir"],
             stages=stages,
+            checkpoint_every=args.checkpoint_every,
+            resume=config["resume"],
         )
     except KeyboardInterrupt:
         print("Training interrupted by user")

@@ -239,10 +239,27 @@ class UncertaintyGuidedProgressiveTrainer:
         max_stages: int = 4,
         save_dir: str = "./uncertainty_guided_weights",
         stages: Iterable[int] | None = None,
+        checkpoint_every: int | None = None,
+        resume: bool = False,
     ):
-        """Full progressive loop: stages 1..max_stages (ref: :316-398)."""
+        """Full progressive loop: stages 1..max_stages (ref: :316-398).
+
+        ``checkpoint_every=N`` additionally writes a rolling
+        ``ug_pgunet_stage{S}_last`` checkpoint (variables + optimizer state
+        + epoch) every N epochs; ``resume=True`` restores the latest one
+        from ``save_dir`` and continues mid-stage — real elastic recovery,
+        which the reference parses a flag for but never implements
+        (ref: train_aug_monuseg.py:172)."""
         save_path = Path(save_dir)
         save_path.mkdir(parents=True, exist_ok=True)
+
+        resume_stage = resume_epoch = None
+        if resume:
+            resume_stage, resume_epoch = self._find_resume_point(save_path)
+            if resume_stage is not None:
+                self._print(
+                    f"Resuming from stage {resume_stage}, epoch {resume_epoch + 1}"
+                )
         # the training_log.csv the reference README promises but never writes
         csv_log = CSVLogger(
             save_path / "training_log.csv",
@@ -263,14 +280,30 @@ class UncertaintyGuidedProgressiveTrainer:
                 f"\nStage {stage} — {cfg['resolution']}x{cfg['resolution']}"
                 + (f" (uncertainty alpha={self.uncertainty_alpha})" if stage > 1 else "")
             )
-            if stage > 1:
-                self.transfer_weights(stage - 1, stage)
-            self.current_stage = stage
-            self.setup_optimizer(stage)
+            start_epoch = 0
+            if resume_stage is not None:
+                if stage < resume_stage:
+                    self._print(f"Resume: skipping completed stage {stage}")
+                    continue
+                if stage == resume_stage:
+                    self.current_stage = stage
+                    self.setup_optimizer(stage)
+                    self._restore_last(save_path, stage)
+                    start_epoch = resume_epoch + 1
+                    resume_stage = None
+                    if start_epoch >= cfg["epochs_per_stage"]:
+                        continue
+                else:  # past the resume stage: normal flow
+                    resume_stage = None
+            if start_epoch == 0:
+                if stage > 1:
+                    self.transfer_weights(stage - 1, stage)
+                self.current_stage = stage
+                self.setup_optimizer(stage)
             self.history["stage_transitions"].append(len(self.history["train_loss"]))
 
             best_val_dice = 0.0
-            for epoch in range(cfg["epochs_per_stage"]):
+            for epoch in range(start_epoch, cfg["epochs_per_stage"]):
                 t0 = time.time()
                 (tr_loss, tr_base, tr_dice, tr_acc, tr_um, tr_us) = self.train_epoch(
                     tl, stage
@@ -320,9 +353,65 @@ class UncertaintyGuidedProgressiveTrainer:
                             "history": self.history,
                         },
                     )
+                if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                    save_checkpoint(
+                        save_path / f"ug_pgunet_stage{stage}_last",
+                        self._state.variables,
+                        opt_state=self._state.opt_state,
+                        metadata={
+                            "stage": stage,
+                            "epoch": epoch,
+                            "val_dice": va_dice,
+                            "uncertainty_alpha": self.uncertainty_alpha,
+                            "history": self.history,
+                        },
+                    )
         self._print("Uncertainty-guided progressive training completed!")
         self.save_training_plots(save_path)
         return self.history
+
+    # ------------------------------------------------------------------
+    def _find_resume_point(self, save_path: Path):
+        """Latest ``_last`` checkpoint -> (stage, epoch); restores earlier
+        stages' weights (needed as frozen uncertainty sources)."""
+        import json as _json
+
+        last_stage = None
+        for stage in (4, 3, 2, 1):
+            meta_file = save_path / f"ug_pgunet_stage{stage}_last" / "metadata.json"
+            if meta_file.exists():
+                last_stage = stage
+                break
+        if last_stage is None:
+            return None, None
+        meta = _json.loads(meta_file.read_text())
+        # earlier stages: prefer their best weights
+        for s in range(1, last_stage):
+            for suffix in ("best", "last"):
+                ckpt = save_path / f"ug_pgunet_stage{s}_{suffix}"
+                if (ckpt / "variables.msgpack").exists():
+                    self.load_stage_weights(s, ckpt)
+                    break
+        return last_stage, int(meta.get("epoch", -1))
+
+    def _restore_last(self, save_path: Path, stage: int):
+        """Restore variables + optimizer state + history for mid-stage resume."""
+        ckpt = save_path / f"ug_pgunet_stage{stage}_last"
+        variables, opt_state, meta = load_checkpoint(
+            ckpt,
+            variables_template=self._ensure_variables(stage),
+            opt_state_template=self._state.opt_state,
+        )
+        self.variables[stage] = variables
+        self._state = self._state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=opt_state if opt_state is not None else self._state.opt_state,
+        )
+        if isinstance(meta.get("history"), dict):
+            for k, v in meta["history"].items():
+                if k in self.history and isinstance(v, list):
+                    self.history[k] = v
 
     # ------------------------------------------------------------------
     def load_stage_weights(self, stage: int, checkpoint_path: str):
