@@ -111,8 +111,6 @@ def _brightness_contrast(img, rng):
 
 
 def _hsv_shift(img, rng):
-    import colorsys  # noqa: F401  (documentation hint only)
-
     x = img.astype(np.float32) / 255.0
     mx = x.max(-1)
     mn = x.min(-1)

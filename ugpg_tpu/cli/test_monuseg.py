@@ -35,6 +35,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--infer_dir", type=str, default=None, help="directory of images")
     p.add_argument("--eval_full", action="store_true",
                    help="run full-dataset evaluation and dump JSON")
+    p.add_argument("--save_uncertainty", action="store_true",
+                   help="also write *_unc.png uncertainty heatmaps for the "
+                        "visualized images")
     p.add_argument("--output_dir", type=str, default="./test_results")
     return p
 
@@ -76,6 +79,21 @@ def main(argv=None):
             dataset, num_images=args.num_images, output_dir=args.output_dir
         )
         results["visualizations"] = written
+        if args.save_uncertainty:
+            import numpy as np
+            from PIL import Image
+
+            rng = np.random.default_rng(42)
+            idxs = rng.choice(len(dataset),
+                              size=min(args.num_images, len(dataset)),
+                              replace=False)
+            for idx in idxs:
+                image, _ = dataset[int(idx)]
+                _, _, unc = evaluator.predict_image(image, return_uncertainty=True)
+                heat = (np.clip(unc, 0, 1) * 255).astype("uint8")
+                Image.fromarray(heat).save(
+                    os.path.join(args.output_dir, f"uncertainty_{idx}.png")
+                )
     if args.eval_full:
         results["metrics"] = evaluator.evaluate_dataset(
             dataset,

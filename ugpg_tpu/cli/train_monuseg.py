@@ -76,7 +76,6 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from ugpg_tpu.data.loader import DataLoader
     from ugpg_tpu.data.monuseg import MoNuSegDataset, create_train_val_split
     from ugpg_tpu.train.aug_trainer import AugMoNuSegTrainer, compute_pos_weight
 

@@ -19,7 +19,6 @@ mirroring PIL.rotate semantics.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

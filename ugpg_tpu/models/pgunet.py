@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ugpg_tpu.models.blocks import DoubleConv, Down, DownSample, InConv, OutConv, Up, UpSample

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
-from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
+from ugpg_tpu.models.pgunet import STAGE_MODELS
 from ugpg_tpu.progressive.transfer import transfer_weights
 from ugpg_tpu.train.optim import get_learning_rate, torch_rmsprop
 from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step

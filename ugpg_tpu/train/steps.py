@@ -21,7 +21,6 @@ handled by compile-cache keys, not dynamic shapes (SURVEY §7 hard-part #4).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Mapping
 
 import jax
