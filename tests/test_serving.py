@@ -54,3 +54,12 @@ def test_predictor_stream(ckpt, rng):
     assert len(outs) == 3
     assert outs[0][0].shape == (4, 32, 32, 1)
     assert outs[2][0].shape == (2, 32, 32, 1)
+
+
+def test_predictor_fold_matches_unfolded(ckpt, rng):
+    x = rng.random((3, 32, 32, 3)).astype(np.float32)
+    p_folded = Predictor(str(ckpt), batch_size=4, dtype=None, fold_bn=True)
+    p_plain = Predictor(str(ckpt), batch_size=4, dtype=None, fold_bn=False)
+    np.testing.assert_allclose(
+        p_folded(x)[1], p_plain(x)[1], rtol=1e-4, atol=1e-4
+    )

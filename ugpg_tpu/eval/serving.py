@@ -48,19 +48,30 @@ class Predictor:
         dtype=jnp.bfloat16,
         threshold: float = 0.5,
         emit_uncertainty: bool = True,
+        fold_bn: bool = True,
     ):
         self.batch_size = batch_size
         self.stage = sniff_stage(checkpoint, default=4)
         self.resolution = STAGE_RESOLUTIONS[self.stage]
-        self.module = STAGE_MODELS[self.stage](num_classes=num_classes, dtype=dtype)
-        template = self.module.init(
+        self.module = STAGE_MODELS[self.stage](
+            num_classes=num_classes, dtype=dtype, use_bn=not fold_bn
+        )
+        template_module = STAGE_MODELS[self.stage](
+            num_classes=num_classes, dtype=dtype
+        )
+        template = template_module.init(
             jax.random.key(0),
             jnp.zeros((1, self.resolution, self.resolution, 3)),
             False,
         )
-        self.variables = jax.device_put(
-            load_checkpoint(checkpoint, variables_template=template)[0]
-        )
+        variables = load_checkpoint(checkpoint, variables_template=template)[0]
+        if fold_bn:
+            # fold BN stats into conv weights: smaller weight set, BN-free
+            # serving graph (models/folding.py); numerically identical
+            from ugpg_tpu.models.folding import fold_batchnorm
+
+            variables = fold_batchnorm(variables)
+        self.variables = jax.device_put(variables)
         res = self.resolution
         emit_unc = emit_uncertainty
 

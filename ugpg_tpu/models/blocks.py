@@ -122,15 +122,18 @@ class DoubleConv(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: Any = None  # compute dtype; None=f32, jnp.bfloat16 for TPU fast path
+    use_bn: bool = True  # False = BN-folded inference (models/folding.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in1 = x.shape[-1]
         x = conv3x3(self.out_channels, in1, "conv1", self.dtype)(x)
-        x = batch_norm("bn1", self.axis_name, self.dtype)(x, use_running_average=not train)
+        if self.use_bn:
+            x = batch_norm("bn1", self.axis_name, self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         x = conv3x3(self.out_channels, self.out_channels, "conv2", self.dtype)(x)
-        x = batch_norm("bn2", self.axis_name, self.dtype)(x, use_running_average=not train)
+        if self.use_bn:
+            x = batch_norm("bn2", self.axis_name, self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         return x
 
@@ -141,10 +144,11 @@ class InConv(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: Any = None
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
 
 
 class Down(nn.Module):
@@ -153,11 +157,12 @@ class Down(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: Any = None
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -170,12 +175,13 @@ class Up(nn.Module):
     out_channels: int
     axis_name: str | None = None
     dtype: Any = None
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
         x1 = upsample2x_bilinear_align_corners(x1)
         x = jnp.concatenate([x2, x1], axis=-1)
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, name="conv")(x, train)
+        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
 
 
 class OutConv(nn.Module):
