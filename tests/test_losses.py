@@ -65,3 +65,42 @@ def test_weighted_ce_mean_matches_torch(rng):
         F.cross_entropy(torch.from_numpy(x), torch.from_numpy(y), weight=torch.from_numpy(w))
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_binary_eval_metrics_empty_mask_scores_one():
+    """Reference eps-in-numerator semantics (test_monuseg.py:283-288):
+    empty GT + empty prediction => all metrics ~1.0, not 0.0."""
+    from ugpg_tpu.metrics.segmentation import binary_eval_metrics
+
+    pred = jnp.zeros((1, 8, 8))
+    tgt = jnp.zeros((1, 8, 8))
+    m = binary_eval_metrics(pred, tgt)
+    for k in ("iou", "dice", "accuracy", "precision", "recall", "specificity"):
+        np.testing.assert_allclose(float(m[k][0]), 1.0, rtol=1e-5), k
+
+
+def test_binary_eval_metrics_full_and_mixed_match_reference():
+    from ugpg_tpu.metrics.segmentation import binary_eval_metrics
+
+    # all-ones pred vs all-ones GT: perfect, but specificity = eps/eps = 1
+    m = binary_eval_metrics(jnp.ones((1, 4, 4)), jnp.ones((1, 4, 4)))
+    np.testing.assert_allclose(float(m["dice"][0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(m["specificity"][0]), 1.0, rtol=1e-5)
+
+    # mixed case cross-checked against the reference formulas in numpy
+    rs = np.random.default_rng(3)
+    p = (rs.random((2, 16, 16)) > 0.5).astype(np.float32)
+    t = (rs.random((2, 16, 16)) > 0.5).astype(np.float32)
+    m = binary_eval_metrics(jnp.asarray(p), jnp.asarray(t))
+    eps = 1e-8
+    for i in range(2):
+        pf, tf = p[i].ravel(), t[i].ravel()
+        tp = float(np.sum(pf * tf))
+        fp = float(np.sum(pf)) - tp
+        fn = float(np.sum(tf)) - tp
+        tn = len(pf) - tp - fp - fn
+        np.testing.assert_allclose(float(m["iou"][i]), (tp + eps) / (tp + fp + fn + eps), rtol=1e-5)
+        np.testing.assert_allclose(float(m["dice"][i]), (2 * tp + eps) / (2 * tp + fp + fn + eps), rtol=1e-5)
+        np.testing.assert_allclose(float(m["precision"][i]), (tp + eps) / (tp + fp + eps), rtol=1e-5)
+        np.testing.assert_allclose(float(m["recall"][i]), (tp + eps) / (tp + fn + eps), rtol=1e-5)
+        np.testing.assert_allclose(float(m["specificity"][i]), (tn + eps) / (tn + fp + eps), rtol=1e-5)

@@ -60,6 +60,47 @@ def test_fused_loss_odd_size_masking(rng):
     np.testing.assert_allclose(float(base), float(want_base), rtol=1e-5)
 
 
+def test_fused_loss_int32_mask_at_2pow24(rng):
+    """Regression: n = 2^24 exactly (the flagship batch-256 @ 256px element
+    count).  With the old f32 flat-index compare, index 2^24-1 rounded up to
+    2^24 and the final valid element was silently dropped; the int32 compare
+    must include it."""
+    n = 1 << 24
+    shape = (256, 256, 256, 1)
+    assert int(np.prod(shape)) == n
+    rs = np.random.default_rng(7)
+    x = rs.standard_normal(shape).astype(np.float32)
+    z = (rs.random(shape) > 0.6).astype(np.float32)
+    p = rs.random(shape).astype(np.float32)
+    pw, alpha = 5.0, 1.0
+
+    final, base = uncertainty_weighted_bce(
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(p), pw, alpha
+    )
+
+    # numpy reference (f64 accumulate)
+    sp = np.logaddexp(0.0, -x.astype(np.float64))
+    pixel = (1.0 - z) * x.astype(np.float64) + (1.0 + (pw - 1.0) * z) * sp
+    weight = 1.0 + alpha * (1.0 - 2.0 * np.abs(p.astype(np.float64) - 0.5))
+    want_final = float(np.mean(pixel * weight))
+    want_base = float(np.mean(pixel))
+    np.testing.assert_allclose(float(final), want_final, rtol=1e-4)
+    np.testing.assert_allclose(float(base), want_base, rtol=1e-4)
+
+    # the last flat element must be included: zeroing it changes the sum
+    x2 = x.copy()
+    x2[-1, -1, -1, -1] = 50.0  # large logit => near-zero pixel loss at z=1
+    z2 = z.copy()
+    z2[-1, -1, -1, -1] = 1.0
+    final2, _ = uncertainty_weighted_bce(
+        jnp.asarray(x2), jnp.asarray(z2), jnp.asarray(p), pw, alpha
+    )
+    sp2 = np.logaddexp(0.0, -x2.astype(np.float64))
+    pixel2 = (1.0 - z2) * x2.astype(np.float64) + (1.0 + (pw - 1.0) * z2) * sp2
+    want2 = float(np.mean(pixel2 * weight))
+    np.testing.assert_allclose(float(final2), want2, rtol=1e-4)
+
+
 def test_fused_loss_gradient_matches_xla(rng):
     x, z, p = _data(rng)
     pw, alpha = 5.0, 1.0

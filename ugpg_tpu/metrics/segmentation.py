@@ -58,11 +58,13 @@ def binary_eval_metrics(pred: jax.Array, target: jax.Array) -> dict[str, jax.Arr
     fp = jnp.sum(p * (1 - t), axis=1)
     fn = jnp.sum((1 - p) * t, axis=1)
     tn = jnp.sum((1 - p) * (1 - t), axis=1)
+    # eps in numerators too, matching the reference exactly
+    # (ref: test_monuseg.py:283-288): empty GT + empty prediction scores 1.0.
     return {
-        "iou": tp / (tp + fp + fn + EPS),
-        "dice": 2 * tp / (2 * tp + fp + fn + EPS),
-        "accuracy": (tp + tn) / (tp + tn + fp + fn + EPS),
-        "precision": tp / (tp + fp + EPS),
-        "recall": tp / (tp + fn + EPS),
-        "specificity": tn / (tn + fp + EPS),
+        "iou": (tp + EPS) / (tp + fp + fn + EPS),
+        "dice": (2 * tp + EPS) / (2 * tp + fp + fn + EPS),
+        "accuracy": (tp + tn + EPS) / (tp + tn + fp + fn + EPS),
+        "precision": (tp + EPS) / (tp + fp + EPS),
+        "recall": (tp + EPS) / (tp + fn + EPS),
+        "specificity": (tn + EPS) / (tn + fp + EPS),
     }

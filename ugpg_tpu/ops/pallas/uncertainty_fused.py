@@ -87,11 +87,11 @@ def uncertainty_from_logits(logits: jax.Array) -> jax.Array:
 # fused uncertainty-weighted BCE reduction (+ custom VJP)
 # ---------------------------------------------------------------------------
 
-def _loss_fwd_kernel(scal_ref, x_ref, z_ref, p_ref, wsum_ref, bsum_ref):
+def _loss_fwd_kernel(scal_ref, n_ref, x_ref, z_ref, p_ref, wsum_ref, bsum_ref):
     i = pl.program_id(0)
     pw = scal_ref[0]
     alpha = scal_ref[1]
-    n_valid = scal_ref[2]
+    n_valid = n_ref[0]
 
     x = x_ref[:]
     z = z_ref[:]
@@ -100,12 +100,14 @@ def _loss_fwd_kernel(scal_ref, x_ref, z_ref, p_ref, wsum_ref, bsum_ref):
     pixel = (1.0 - z) * x + (1.0 + (pw - 1.0) * z) * sp
     weight = 1.0 + alpha * (1.0 - 2.0 * jnp.abs(p - 0.5))
 
-    # mask the padded tail by global flat index (int32 iota: TPU requires
-    # integer iota; n < 2^24 so the f32 comparison below is exact)
+    # mask the padded tail by global flat index, compared entirely in int32
+    # (n_valid arrives via a dedicated int32 scalar prefetch: an f32 compare
+    # would silently mis-mask boundary elements for n >= 2^24, which the
+    # flagship batch-256 @ 256px config hits exactly).
     base = i * (_BLOCK_ROWS * _LANES)
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
-    flat_idx = (base + rows_idx * _LANES + lane_idx).astype(jnp.float32)
+    flat_idx = base + rows_idx * _LANES + lane_idx
     valid = flat_idx < n_valid
     pixel = jnp.where(valid, pixel, 0.0)
 
@@ -140,20 +142,20 @@ def _run_fwd(x, z, p, pw, alpha):
     rows = xf.shape[0]
     scal = jnp.stack(
         [jnp.asarray(pw, jnp.float32).reshape(()),
-         jnp.asarray(alpha, jnp.float32).reshape(()),
-         jnp.asarray(n, jnp.float32)]
+         jnp.asarray(alpha, jnp.float32).reshape(())]
     )
+    n_scal = jnp.asarray([n], jnp.int32)
     wsum, bsum = pl.pallas_call(
         _loss_fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(rows // _BLOCK_ROWS,),
             in_specs=[
-                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s: (i, 0),
+                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s, t: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s: (i, 0),
+                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s, t: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s: (i, 0),
+                pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i, s, t: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -166,7 +168,7 @@ def _run_fwd(x, z, p, pw, alpha):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(scal, xf, zf, pf)
+    )(scal, n_scal, xf, zf, pf)
     n_f = jnp.float32(n)
     return wsum[0, 0] / n_f, bsum[0, 0] / n_f
 
