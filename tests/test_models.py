@@ -151,3 +151,53 @@ def test_classification_facade():
     v = m.init(jax.random.key(0))
     y = m.apply(v, jnp.zeros((2, 224, 224, 3)))
     assert y.shape == (2, 7)
+
+
+def test_torch_batchnorm_running_stats_match_torch():
+    """TorchBatchNorm must track torch's running stats exactly: normalize by
+    biased batch var, store the unbiased (n/(n-1)) estimate in running_var."""
+    import torch
+
+    from ugpg_tpu.models.blocks import TorchBatchNorm
+
+    g = np.random.default_rng(5)
+    feats = 6
+    tbn = torch.nn.BatchNorm2d(feats, eps=1e-5, momentum=0.1)
+    tbn.weight.data = torch.from_numpy(
+        (1 + 0.2 * g.standard_normal(feats)).astype(np.float32))
+    tbn.bias.data = torch.from_numpy(
+        (0.1 * g.standard_normal(feats)).astype(np.float32))
+
+    mod = TorchBatchNorm()
+    variables = mod.init(jax.random.key(0), jnp.zeros((2, 5, 7, feats)), False)
+    variables = {
+        "params": {"scale": jnp.asarray(tbn.weight.detach().numpy()),
+                    "bias": jnp.asarray(tbn.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"],
+    }
+
+    tbn.train()
+    bs = variables["batch_stats"]
+    for i in range(4):
+        x = g.standard_normal((2, 5, 7, feats)).astype(np.float32) * (1 + i)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = tbn(xt).permute(0, 2, 3, 1).detach().numpy()
+        got, mut = mod.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            jnp.asarray(x), False, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(bs["mean"]), tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bs["var"]), tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    # eval mode uses the running stats identically
+    tbn.eval()
+    x = g.standard_normal((2, 5, 7, feats)).astype(np.float32)
+    want = tbn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).detach().numpy()
+    got = mod.apply({"params": variables["params"], "batch_stats": bs},
+                    jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

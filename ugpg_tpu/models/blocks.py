@@ -29,6 +29,7 @@ from flax import linen as nn
 from ugpg_tpu.ops.resize import upsample2x_bilinear_align_corners
 
 __all__ = [
+    "TorchBatchNorm",
     "DoubleConv",
     "InConv",
     "Down",
@@ -106,8 +107,69 @@ def conv1x1(features: int, in_features: int, name: str, dtype=None) -> nn.Conv:
     )
 
 
-def batch_norm(name: str, axis_name: str | None = None, dtype=None) -> nn.BatchNorm:
-    return nn.BatchNorm(
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact running-stat semantics.
+
+    Differs from ``flax.linen.BatchNorm`` in one observable way: torch's
+    BatchNorm2d normalizes with the *biased* batch variance but stores the
+    *unbiased* (Bessel-corrected, n/(n-1)) estimate in ``running_var``
+    (ref: UG_unet_parts.py:11,14 use nn.BatchNorm2d defaults).  flax stores
+    the biased variance, which makes eval-mode forwards drift from a torch
+    model trained on identical data.  Training-trajectory parity with the
+    reference requires the torch convention, so this module applies the
+    correction before the EMA update.
+
+    Param/collection names match flax (params: scale/bias; batch_stats:
+    mean/var) so checkpoints, weight transfer, torch import, and BN folding
+    are unaffected.  Statistics are computed in f32 even on the bf16 path
+    (as flax does); ``axis_name`` syncs batch statistics across a mesh axis
+    under shard_map/pmap, with n scaled by the axis size.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    axis_name: str | None = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=red)
+            mean2 = jnp.mean(jnp.square(xf), axis=red)
+            n = float(np.prod([x.shape[i] for i in red]))
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+
+        out_dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(out_dtype)
+
+
+def batch_norm(name: str, axis_name: str | None = None, dtype=None) -> TorchBatchNorm:
+    return TorchBatchNorm(
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
         axis_name=axis_name,

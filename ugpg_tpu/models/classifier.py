@@ -71,13 +71,17 @@ class HerlevClassificationModel(nn.Module):
     """Encoder feature extractor + MLP classification head.
 
     ``freeze_encoder`` is handled at the optimizer level (see
-    ``ugpg_tpu.train.optim.masked``) since flax params are immutable.
+    ``ugpg_tpu.train.optim.freeze_subtrees``) since flax params are
+    immutable.  ``dropout_rates`` mirrors the reference head's (.5, .3, .2)
+    (ref: train_herlev.py:66-77); pass zeros for deterministic training
+    (used by the reference-trajectory parity harness).
     """
 
     stage: int
     num_classes: int = 7
     axis_name: str | None = None
     dtype: Any = None
+    dropout_rates: tuple[float, float, float] = (0.5, 0.3, 0.2)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -85,9 +89,10 @@ class HerlevClassificationModel(nn.Module):
         # AdaptiveAvgPool2d(1) + Flatten -> global mean over H, W; head in f32.
         h = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
         deterministic = not train
-        h = nn.Dropout(0.5, deterministic=deterministic, name="drop1")(h)
+        d1, d2, d3 = self.dropout_rates
+        h = nn.Dropout(d1, deterministic=deterministic, name="drop1")(h)
         h = nn.relu(_dense(512, h.shape[-1], "fc1")(h))
-        h = nn.Dropout(0.3, deterministic=deterministic, name="drop2")(h)
+        h = nn.Dropout(d2, deterministic=deterministic, name="drop2")(h)
         h = nn.relu(_dense(256, 512, "fc2")(h))
-        h = nn.Dropout(0.2, deterministic=deterministic, name="drop3")(h)
+        h = nn.Dropout(d3, deterministic=deterministic, name="drop3")(h)
         return _dense(self.num_classes, 256, "fc3")(h)
