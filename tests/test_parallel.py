@@ -133,3 +133,83 @@ def test_graft_entry_and_dryrun():
     assert 0.0 <= float(unc.min()) and float(unc.max()) <= 1.0
 
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# parallel.distributed (single-process unit coverage; multi-host behavior is
+# arithmetic + jax.make_array_from_process_local_data, both testable here)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_initialize_noop_single_process(monkeypatch):
+    from ugpg_tpu.parallel import distributed
+
+    monkeypatch.delenv("UGPG_COORDINATOR_ADDRESS", raising=False)
+    # no coordinator configured -> returns without touching jax.distributed
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw), raising=True,
+    )
+    distributed.initialize()
+    assert called == []
+    assert distributed.is_multi_host() is False
+
+
+def test_distributed_initialize_forwards_args(monkeypatch):
+    from ugpg_tpu.parallel import distributed
+
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw), raising=True,
+    )
+    distributed.initialize("10.0.0.1:1234", num_processes=4, process_id=2)
+    assert called == [{
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }]
+
+
+def test_distributed_initialize_env_fallback(monkeypatch):
+    from ugpg_tpu.parallel import distributed
+
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw), raising=True,
+    )
+    monkeypatch.setenv("UGPG_COORDINATOR_ADDRESS", "h0:9999")
+    distributed.initialize()
+    assert called and called[0]["coordinator_address"] == "h0:9999"
+
+
+def test_host_batch_slice_arithmetic(monkeypatch):
+    from ugpg_tpu.parallel import distributed
+
+    # single-process reality
+    assert distributed.host_batch_slice(32) == slice(0, 32)
+    # simulated 4-process layout
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        s = distributed.host_batch_slice(32)
+        assert s == slice(pid * 8, pid * 8 + 8)
+
+
+def test_global_batch_assembles_on_fake_mesh():
+    from ugpg_tpu.parallel import distributed
+    from ugpg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    imgs = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    masks = (imgs[..., :1] > imgs.mean()).astype(np.float32)
+    g_imgs, g_masks = distributed.global_batch((imgs, masks), mesh)
+    assert g_imgs.shape == imgs.shape and g_masks.shape == masks.shape
+    np.testing.assert_array_equal(np.asarray(g_imgs), imgs)
+    np.testing.assert_array_equal(np.asarray(g_masks), masks)
+    # batch axis is sharded over the data axis of the mesh
+    assert len(g_imgs.addressable_shards) == 8  # 4 data x 2 model replicas
+    shard0 = g_imgs.addressable_shards[0]
+    assert shard0.data.shape[0] == imgs.shape[0] // 4

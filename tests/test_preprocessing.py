@@ -110,3 +110,55 @@ def test_run_pipeline_and_dataset_consumes_it(root):
     assert len(ds) == n
     img, mask = ds[0]
     assert img.shape == (32, 32, 3)
+
+
+def test_numpy_gaussian_filter_matches_scipy():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    from ugpg_tpu.cli.augment_monuseg import _gaussian_filter2d
+
+    g = np.random.default_rng(0)
+    img = g.uniform(-1, 1, (64, 64))
+    for sigma in (1.0, 5.0):
+        want = scipy_nd.gaussian_filter(img, sigma)
+        got = _gaussian_filter2d(img, sigma)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_numpy_bilinear_remap_matches_scipy_map_coordinates():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    from ugpg_tpu.cli.augment_monuseg import _bilinear_sample
+
+    g = np.random.default_rng(1)
+    plane = g.uniform(0, 255, (32, 32))
+    # in-range, boundary-crossing, and negative coordinates
+    ys = g.uniform(-3, 35, (40, 40))
+    xs = g.uniform(-3, 35, (40, 40))
+    want = scipy_nd.map_coordinates(plane, [ys, xs], order=1, mode="reflect")
+    got = _bilinear_sample(plane, ys, xs)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_elastic_and_grid_no_scipy(monkeypatch):
+    """The offline pipeline must not import scipy at all."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def deny_scipy(name, *a, **kw):
+        if name.startswith("scipy"):
+            raise ImportError("scipy blocked for this test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", deny_scipy)
+    from ugpg_tpu.cli.augment_monuseg import _elastic, _grid_distortion
+
+    g = np.random.default_rng(2)
+    img = (g.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    polys = [np.array([[10.0, 10.0], [20.0, 10.0], [15.0, 20.0]])]
+    w1, p1 = _elastic(img, polys, 64, np.random.default_rng(3))
+    w2, p2 = _grid_distortion(img, polys, 64, np.random.default_rng(4))
+    assert w1.shape == img.shape and w2.shape == img.shape
+    assert w1.dtype == np.uint8
+    for p in p1 + p2:
+        assert p.shape == polys[0].shape

@@ -127,22 +127,60 @@ def _hsv_shift(img, rng):
     return (np.asarray(out[0]).clip(0, 1) * 255).astype(np.uint8)
 
 
-def _smooth_field(rng, size, alpha, sigma):
-    from scipy.ndimage import gaussian_filter
+def _gaussian_filter2d(img: np.ndarray, sigma: float, truncate: float = 4.0):
+    """Separable Gaussian blur, numerically matching
+    scipy.ndimage.gaussian_filter(mode='reflect') for 2-D f64 input —
+    implemented in numpy so the offline pipeline has no scipy dependency
+    (tested against scipy in tests/test_preprocessing.py)."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    # scipy 'reflect' == np.pad 'symmetric' (edge value repeated)
+    out = np.pad(img.astype(np.float64), ((radius, radius), (0, 0)), mode="symmetric")
+    out = np.apply_along_axis(np.convolve, 0, out, k, mode="valid")
+    out = np.pad(out, ((0, 0), (radius, radius)), mode="symmetric")
+    out = np.apply_along_axis(np.convolve, 1, out, k, mode="valid")
+    return out
 
-    dx = gaussian_filter(rng.uniform(-1, 1, (size, size)), sigma) * alpha
-    dy = gaussian_filter(rng.uniform(-1, 1, (size, size)), sigma) * alpha
+
+def _smooth_field(rng, size, alpha, sigma):
+    dx = _gaussian_filter2d(rng.uniform(-1, 1, (size, size)), sigma) * alpha
+    dy = _gaussian_filter2d(rng.uniform(-1, 1, (size, size)), sigma) * alpha
     return dx.astype(np.float32), dy.astype(np.float32)
 
 
-def _remap(img, map_x, map_y):
-    from scipy.ndimage import map_coordinates
+def _reflect_index(idx: np.ndarray, n: int) -> np.ndarray:
+    """Fold integer indices into [0, n) by symmetric reflection
+    (scipy mode='reflect': d c b a | a b c d | d c b a)."""
+    idx = np.remainder(idx, 2 * n)
+    return np.where(idx >= n, 2 * n - 1 - idx, idx)
 
+
+def _bilinear_sample(plane: np.ndarray, ys: np.ndarray, xs: np.ndarray):
+    """order=1 map_coordinates with reflect boundaries, in numpy."""
+    n0, n1 = plane.shape
+    y0 = np.floor(ys)
+    x0 = np.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = _reflect_index(y0.astype(np.int64), n0)
+    y1i = _reflect_index(y0.astype(np.int64) + 1, n0)
+    x0i = _reflect_index(x0.astype(np.int64), n1)
+    x1i = _reflect_index(x0.astype(np.int64) + 1, n1)
+    p = plane.astype(np.float64)
+    top = p[y0i, x0i] * (1 - wx) + p[y0i, x1i] * wx
+    bot = p[y1i, x0i] * (1 - wx) + p[y1i, x1i] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _remap(img, map_x, map_y):
     out = np.empty_like(img)
     for ch in range(img.shape[2]):
-        out[..., ch] = map_coordinates(
-            img[..., ch], [map_y, map_x], order=1, mode="reflect"
-        )
+        samp = _bilinear_sample(img[..., ch], map_y, map_x)
+        if np.issubdtype(img.dtype, np.integer):
+            samp = np.rint(samp)
+        out[..., ch] = samp.astype(img.dtype)
     return out
 
 

@@ -16,8 +16,12 @@ Host-side engine matching the reference classification trainer's behavior
 * best-by-val-accuracy checkpoints embedding the full config (ref: :459-480),
   early stopping (patience 15, ref: :485-487), history JSON (ref: :499-503)
 
-On-device path: the fused cls train step resizes + normalizes + (train)
-augments + runs the frozen prev-stage forward inside one XLA program.
+On-device path: the fused cls train step runs (train) augmentation,
+ImageNet normalization, the stage resize, the frozen prev-stage forward,
+loss, gradients, and the Adam update inside ONE XLA program
+(``make_cls_train_step(augment=..., normalize=True)``); per-batch metrics
+stay on device and are fetched once per epoch (the reference syncs with
+``.item()`` every batch; ref: train_herlev.py:329-337).
 """
 
 from __future__ import annotations
@@ -31,7 +35,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ugpg_tpu.data.augment import augment_herlev_batch, imagenet_normalize
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
 from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
@@ -196,6 +199,8 @@ class HerlevTrainer:
                 prev_module=prev_module,
                 prev_resolution=prev_res,
                 alpha=self.uncertainty_alpha,
+                augment=bool(self.config.get("augment", True)),
+                normalize=True,
             )
             self._train_steps[stage] = base
         return self._train_steps[stage]
@@ -214,58 +219,49 @@ class HerlevTrainer:
                 prev_module=prev_module,
                 prev_resolution=prev_res,
                 alpha=self.uncertainty_alpha,
+                normalize=True,
             )
         return self._eval_steps[stage]
 
     def _prev_variables(self, stage: int):
         return self._ensure_variables(stage - 1) if stage > 1 else {}
 
-    def _prep_batch(self, batch, train: bool):
-        """Device-side: [0,1] RGB -> (augment if train) -> ImageNet norm."""
-        images, labels = jnp.asarray(batch[0]), jnp.asarray(batch[1])
-        if train and self.config.get("augment", True):
-            self._drop_key, k = jax.random.split(self._drop_key)
-            images = augment_herlev_batch(k, images)
-        images = imagenet_normalize(images)
-        return images, labels
+    @staticmethod
+    def _reduce_epoch(metrics_list):
+        """One host fetch for the whole epoch's device-resident metrics."""
+        ms = jax.device_get(metrics_list)
+        n = max(len(ms), 1)
+        correct = sum(int(m["correct"]) for m in ms)
+        count = max(sum(int(m["count"]) for m in ms), 1)
+        return (
+            sum(float(m["final_loss"]) for m in ms) / n,
+            sum(float(m["base_loss"]) for m in ms) / n,
+            100.0 * correct / count,
+            sum(float(m["uncertainty_weight_mean"]) for m in ms) / n,
+            sum(float(m["uncertainty_weight_std"]) for m in ms) / n,
+        )
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
         step_fn = self._get_train_step(stage)
         prev_vars = self._prev_variables(stage)
         cw = self.class_weights
-        totals = {"final_loss": 0.0, "base_loss": 0.0, "um": 0.0, "us": 0.0}
-        correct = 0
-        count = 0
-        n_batches = 0
+        log_every = self.config.get("log_interval", 10)
+        collected = []
         for batch_idx, batch in enumerate(dataloader):
             self._drop_key, dk = jax.random.split(self._drop_key)
-            self._state, m = step_fn(
-                self._state, prev_vars, self._prep_batch(batch, True), cw, dk
-            )
-            totals["final_loss"] += float(m["final_loss"])
-            totals["base_loss"] += float(m["base_loss"])
-            totals["um"] += float(m["uncertainty_weight_mean"])
-            totals["us"] += float(m["uncertainty_weight_std"])
-            correct += int(m["correct"])
-            count += int(m["count"])
-            n_batches += 1
-            if self.verbose and batch_idx % self.config.get("log_interval", 10) == 0:
+            batch_dev = (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
+            self._state, m = step_fn(self._state, prev_vars, batch_dev, cw, dk)
+            m.pop("logits", None)
+            collected.append(m)  # device arrays; no per-batch host sync
+            if self.verbose and batch_idx % log_every == 0:
                 self._print(
                     f"Stage {stage}, Batch {batch_idx} "
                     f"Loss: {float(m['final_loss']):.6f} "
-                    f"Base: {float(m['base_loss']):.6f} "
-                    f"Acc: {100.0 * correct / max(count, 1):.2f}%"
+                    f"Base: {float(m['base_loss']):.6f}"
                 )
         self.variables[stage] = self._state.variables
-        n = max(n_batches, 1)
-        return (
-            totals["final_loss"] / n,
-            totals["base_loss"] / n,
-            100.0 * correct / max(count, 1),
-            totals["um"] / n,
-            totals["us"] / n,
-        )
+        return self._reduce_epoch(collected)
 
     def validate_epoch(self, dataloader: Iterable, stage: int):
         step_fn = self._get_eval_step(stage)
@@ -274,27 +270,13 @@ class HerlevTrainer:
             self._state.variables if self._state else self._ensure_variables(stage)
         )
         cw = self.class_weights
-        totals = {"final_loss": 0.0, "base_loss": 0.0, "um": 0.0, "us": 0.0}
-        correct = 0
-        count = 0
-        n_batches = 0
+        collected = []
         for batch in dataloader:
-            m = step_fn(variables, prev_vars, self._prep_batch(batch, False), cw)
-            totals["final_loss"] += float(m["final_loss"])
-            totals["base_loss"] += float(m["base_loss"])
-            totals["um"] += float(m["uncertainty_weight_mean"])
-            totals["us"] += float(m["uncertainty_weight_std"])
-            correct += int(m["correct"])
-            count += int(m["count"])
-            n_batches += 1
-        n = max(n_batches, 1)
-        return (
-            totals["final_loss"] / n,
-            totals["base_loss"] / n,
-            100.0 * correct / max(count, 1),
-            totals["um"] / n,
-            totals["us"] / n,
-        )
+            batch_dev = (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
+            m = dict(step_fn(variables, prev_vars, batch_dev, cw))
+            m.pop("logits", None)
+            collected.append(m)
+        return self._reduce_epoch(collected)
 
     # ------------------------------------------------------------------
     def train_progressive(self, train_loaders, val_loaders, save_dir: str):

@@ -30,7 +30,11 @@ from flax import struct
 
 from ugpg_tpu.metrics.segmentation import dice_coefficient, get_predictions, pixel_accuracy
 from ugpg_tpu.ops.losses import bce_with_logits, softmax_cross_entropy, weighted_cross_entropy_mean
-from ugpg_tpu.data.augment import augment_monuseg_batch
+from ugpg_tpu.data.augment import (
+    augment_herlev_batch,
+    augment_monuseg_batch,
+    imagenet_normalize,
+)
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
 from ugpg_tpu.ops.pallas.uncertainty_fused import uncertainty_weighted_bce
 from ugpg_tpu.uncertainty import (
@@ -226,6 +230,8 @@ def make_cls_train_step(
     prev_resolution: int | None = None,
     alpha: float = 1.0,
     donate: bool = True,
+    augment: bool = False,
+    normalize: bool = False,
 ) -> Callable:
     """Classification train step (ref: Herlev/train_herlev.py:216-296).
 
@@ -235,11 +241,22 @@ def make_cls_train_step(
     uncertainty-weighted loss uses UNWEIGHTED per-sample CE, matching the
     reference exactly (ref: train_herlev.py:279 uses F.cross_entropy without
     class weights).
+
+    With ``augment=True`` the on-device Herlev augmentation (flips /
+    rotation / color jitter / affine) runs inside this XLA program, keyed by
+    ``rng`` (which also drives dropout); with ``normalize=True`` the
+    ImageNet normalization does too (ref dataset transform stack:
+    herlev_dataset.py:200-228) — no separate host-dispatched programs.
     """
     use_unc = stage > 1 and prev_module is not None
 
     def step(state: TrainState, prev_variables, batch, class_weights, rng):
         images, labels = batch
+        if augment:
+            rng, akey = jax.random.split(rng)
+            images = augment_herlev_batch(akey, images)
+        if normalize:
+            images = imagenet_normalize(images)
         x = resize_bilinear_align_corners(images, (resolution, resolution))
 
         if use_unc:
@@ -309,11 +326,14 @@ def make_cls_eval_step(
     prev_module=None,
     prev_resolution: int | None = None,
     alpha: float = 1.0,
+    normalize: bool = False,
 ) -> Callable:
     use_unc = stage > 1 and prev_module is not None
 
     def step(variables, prev_variables, batch, class_weights):
         images, labels = batch
+        if normalize:
+            images = imagenet_normalize(images)
         x = resize_bilinear_align_corners(images, (resolution, resolution))
 
         if use_unc:
