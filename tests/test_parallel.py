@@ -213,3 +213,68 @@ def test_global_batch_assembles_on_fake_mesh():
     assert len(g_imgs.addressable_shards) == 8  # 4 data x 2 model replicas
     shard0 = g_imgs.addressable_shards[0]
     assert shard0.data.shape[0] == imgs.shape[0] // 4
+
+
+# ---------------------------------------------------------------------------
+# trainer-level mesh integration: full progressive loop on the fake 8-device
+# mesh must reproduce single-device metrics (GSPMD global-batch semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_seg_trainer_progressive_on_mesh_matches_single_device(tmp_path):
+    from ugpg_tpu.data.synthetic import disk_dataset
+    from ugpg_tpu.parallel.mesh import make_mesh
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    cfgs = {
+        1: {"resolution": 32, "epochs_per_stage": 2, "lr": 3e-4},
+        2: {"resolution": 64, "epochs_per_stage": 2, "lr": 1e-4},
+    }
+    imgs, masks = disk_dataset(num_samples=8, image_size=64, seed=5)
+    batches = [(imgs, masks)]
+
+    hists = {}
+    for name, mesh in (
+        ("single", None),
+        ("mesh", make_mesh(n_data=4, n_model=2)),
+    ):
+        tr = UncertaintyGuidedProgressiveTrainer(
+            stage_configs=cfgs, seed=3, verbose=False, mesh=mesh
+        )
+        hists[name] = dict(tr.train_progressive(
+            batches, batches, stages=[1, 2], save_dir=str(tmp_path / name)
+        ))
+
+    # rtol 2%: RMSprop's early near-sign-descent updates amplify GSPMD
+    # reduction-order fp differences (same chaos as in test_reference_parity)
+    for key in ("train_loss", "val_loss", "train_dice", "val_dice",
+                "uncertainty_weights_mean"):
+        np.testing.assert_allclose(
+            hists["single"][key], hists["mesh"][key], rtol=2e-2, atol=2e-2,
+        ), key
+
+
+def test_cls_trainer_epoch_on_mesh_matches_single_device():
+    from ugpg_tpu.parallel.mesh import make_mesh
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    cfg = create_config()
+    cfg.update(num_classes=3, epochs_per_stage=1, stages=[1],
+               verbose=False, augment=False)
+    g = np.random.default_rng(7)
+    lab = g.integers(0, 3, 8).astype(np.int64)
+    img = np.clip(g.random((8, 32, 32, 3), np.float32)
+                  + 0.2 * lab[:, None, None, None], 0, 1).astype(np.float32)
+    batches = [(img, lab)]
+
+    results = {}
+    for name, mesh in (("single", None), ("mesh", make_mesh(n_data=4, n_model=2))):
+        tr = HerlevTrainer(cfg, seed=1, mesh=mesh)
+        tr.setup_optimizer_scheduler(1)
+        results[name] = tr.train_epoch(batches, 1)
+
+    np.testing.assert_allclose(results["single"][0], results["mesh"][0],
+                               rtol=2e-3)  # final_loss
+    np.testing.assert_allclose(results["single"][1], results["mesh"][1],
+                               rtol=2e-3)  # base_loss
+    assert results["single"][2] == results["mesh"][2]  # accuracy

@@ -21,6 +21,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, required=False)
     p.add_argument("--output_dir", type=str, default="./herlev_outputs")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="shard over a (data, model) device mesh "
+                        "(e.g. '4,2'; 'auto' = all devices data-parallel)")
     return p
 
 
@@ -85,7 +88,10 @@ def main(argv=None):
         config["class_weights"] = class_weights
         print(f"Computed class weights: {[round(w, 3) for w in class_weights]}")
 
-    trainer = HerlevTrainer(config, dtype=jnp.bfloat16 if args.bf16 else None)
+    from ugpg_tpu.cli.train_monuseg import parse_mesh
+
+    trainer = HerlevTrainer(config, dtype=jnp.bfloat16 if args.bf16 else None,
+                            mesh=parse_mesh(args.mesh))
     try:
         trainer.train_progressive(train_loaders, val_loaders, config["output_dir"])
         cfg_path = os.path.join(config["output_dir"], "config.json")

@@ -53,7 +53,25 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (TPU fast path)")
     p.add_argument("--plain", action="store_true",
                    help="use the raw MoNuSegDataset instead of aug patches")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
+                   help="shard over a (data, model) device mesh, e.g. "
+                        "'4,2' for 4-way data x 2-way tensor parallel; "
+                        "'auto' = all devices data-parallel")
     return p
+
+
+def parse_mesh(spec: str | None):
+    """'DATA,MODEL' / 'auto' -> jax.sharding.Mesh (None -> single device)."""
+    if not spec:
+        return None
+    from ugpg_tpu.parallel.distributed import initialize
+    from ugpg_tpu.parallel.mesh import make_mesh
+
+    initialize()  # no-op unless a coordinator is configured (multi-host)
+    if spec == "auto":
+        return make_mesh()
+    n_data, n_model = (int(x) for x in spec.split(","))
+    return make_mesh(n_data=n_data, n_model=n_model)
 
 
 def main(argv=None):
@@ -80,7 +98,8 @@ def main(argv=None):
     from ugpg_tpu.train.aug_trainer import AugMoNuSegTrainer, compute_pos_weight
 
     trainer = AugMoNuSegTrainer(
-        config, dtype=jnp.bfloat16 if args.bf16 else None
+        config, dtype=jnp.bfloat16 if args.bf16 else None,
+        mesh=parse_mesh(args.mesh),
     )
 
     if args.plain:

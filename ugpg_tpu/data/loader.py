@@ -87,19 +87,26 @@ class DataLoader:
             yield pending.result()
 
 
-def prefetch_to_device(iterator, size: int = 2, device=None):
+def prefetch_to_device(iterator, size: int = 2, device=None, put=None):
     """Wrap a host batch iterator with an N-deep device prefetch queue.
 
     A daemon thread pushes ``jax.device_put`` batches into a bounded queue;
-    the consumer always finds the next batch already resident in HBM.
+    the consumer always finds the next batch already resident in HBM
+    (double-buffered host->HBM copy overlapping compute).  ``put`` overrides
+    the transfer (e.g. a mesh-sharding ``_as_batch``); default is
+    ``jax.device_put(batch, device)``.
     """
+    if put is None:
+        def put(batch):
+            return jax.device_put(batch, device)
+
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
 
     def producer():
         try:
             for batch in iterator:
-                q.put(jax.device_put(batch, device))
+                q.put(put(batch))
         finally:
             q.put(_SENTINEL)
 

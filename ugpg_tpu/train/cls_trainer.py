@@ -35,8 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
+from ugpg_tpu.parallel.distributed import global_batch
+from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
 from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
 from ugpg_tpu.train.optim import (
     ReduceLROnPlateau,
@@ -76,8 +79,15 @@ def create_config() -> dict:
 class HerlevTrainer:
     """Progressive trainer for Herlev cervical-cell classification."""
 
-    def __init__(self, config: Mapping[str, Any], dtype=None, axis_name=None, seed=0):
+    def __init__(self, config: Mapping[str, Any], dtype=None, axis_name=None,
+                 seed=0, mesh=None, shard_model: bool = True):
+        """``mesh``: optional ('data', 'model') ``jax.sharding.Mesh`` — stage
+        variables are sharded at stage entry, batches over 'data', and
+        multi-process runs feed per-host shards (see
+        ``parallel.mesh`` / ``parallel.distributed``)."""
         self.config = dict(config)
+        self.mesh = mesh
+        self.shard_model = shard_model
         k = self.config["num_classes"]
         epochs = self.config.get("epochs_per_stage", 30)
         self.stage_configs = {
@@ -131,10 +141,27 @@ class HerlevTrainer:
         if stage not in self.variables:
             res = self.stage_configs[stage]["resolution"]
             x = jnp.zeros((1, res, res, 3), jnp.float32)
-            self.variables[stage] = self.modules[stage].init(
+            variables = self.modules[stage].init(
                 self._init_rngs[stage], x, False
             )
+            self.variables[stage] = self._shard(variables)
         return self.variables[stage]
+
+    def _shard(self, variables):
+        if self.mesh is None:
+            return variables
+        return shard_variables(variables, self.mesh, self.shard_model)
+
+    def _as_batch(self, batch):
+        if self.mesh is not None:
+            if jax.process_count() > 1:
+                return global_batch(
+                    (np.asarray(batch[0]), np.asarray(batch[1])), self.mesh
+                )
+            return shard_batch(
+                (jnp.asarray(batch[0]), jnp.asarray(batch[1])), self.mesh
+            )
+        return jnp.asarray(batch[0]), jnp.asarray(batch[1])
 
     def load_pretrained_unet(self, stage: int, ckpt_path: str):
         """Merge a pretrained PGUNet checkpoint into the stage encoder and
@@ -153,7 +180,10 @@ class HerlevTrainer:
         self._print(f"  merged {len(copied)} encoder keys; encoder frozen")
 
     def setup_optimizer_scheduler(self, stage: int):
-        """Adam + plateau scheduler for the stage (ref: :178-194)."""
+        """Adam + plateau scheduler for the stage (ref: :178-194).
+
+        Under a mesh, variables are (re-)sharded here — stage entry — so the
+        optimizer state inherits the same layout."""
         tx = torch_adam(
             self.stage_configs[stage]["lr"],
             weight_decay=self.config.get("weight_decay", 1e-4),
@@ -161,7 +191,8 @@ class HerlevTrainer:
         if stage in getattr(self, "_frozen_stages", set()):
             tx = freeze_subtrees(tx, ("unet",))
         self._tx = tx
-        self._state = TrainState.create(self._ensure_variables(stage), tx)
+        self.variables[stage] = self._shard(self._ensure_variables(stage))
+        self._state = TrainState.create(self.variables[stage], tx)
         self._scheduler = ReduceLROnPlateau(factor=0.5, patience=5)
         # step functions close over tx; rebuild for this stage
         self._train_steps.pop(stage, None)
@@ -248,9 +279,10 @@ class HerlevTrainer:
         cw = self.class_weights
         log_every = self.config.get("log_interval", 10)
         collected = []
-        for batch_idx, batch in enumerate(dataloader):
+        # double-buffered host->HBM prefetch (shards under a mesh)
+        batches = prefetch_to_device(iter(dataloader), size=2, put=self._as_batch)
+        for batch_idx, batch_dev in enumerate(batches):
             self._drop_key, dk = jax.random.split(self._drop_key)
-            batch_dev = (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
             self._state, m = step_fn(self._state, prev_vars, batch_dev, cw, dk)
             m.pop("logits", None)
             collected.append(m)  # device arrays; no per-batch host sync
@@ -271,8 +303,8 @@ class HerlevTrainer:
         )
         cw = self.class_weights
         collected = []
-        for batch in dataloader:
-            batch_dev = (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
+        batches = prefetch_to_device(iter(dataloader), size=2, put=self._as_batch)
+        for batch_dev in batches:
             m = dict(step_fn(variables, prev_vars, batch_dev, cw))
             m.pop("logits", None)
             collected.append(m)
@@ -295,9 +327,8 @@ class HerlevTrainer:
             if stage > 1:
                 self.transfer_weights(stage - 1, stage)
                 # rebuild state to pick up transferred variables
-                self._state = TrainState.create(
-                    self._ensure_variables(stage), self._tx
-                )
+                self.variables[stage] = self._shard(self._ensure_variables(stage))
+                self._state = TrainState.create(self.variables[stage], self._tx)
 
             tl = train_loaders[stage] if isinstance(train_loaders, dict) else train_loaders
             vl = val_loaders[stage] if isinstance(val_loaders, dict) else val_loaders

@@ -27,8 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.pgunet import STAGE_MODELS
+from ugpg_tpu.parallel.distributed import global_batch
+from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
 from ugpg_tpu.progressive.transfer import transfer_weights
 from ugpg_tpu.train.optim import get_learning_rate, torch_rmsprop
 from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
@@ -70,7 +73,17 @@ class UncertaintyGuidedProgressiveTrainer:
         verbose: bool = True,
         augment: bool = False,
         fused_loss: bool = False,
+        mesh=None,
+        shard_model: bool = True,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
+        ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
+        at stage entry (TP over wide conv kernels if ``shard_model``),
+        batches are split over the 'data' axis, and multi-process runs feed
+        per-host shards through ``parallel.distributed.global_batch`` — the
+        SAME fused step then compiles as one GSPMD program with XLA-inserted
+        collectives over ICI.  Global batch size must divide the 'data' axis
+        size."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -82,6 +95,8 @@ class UncertaintyGuidedProgressiveTrainer:
         self.verbose = verbose
         self.augment = augment
         self.fused_loss = fused_loss
+        self.mesh = mesh
+        self.shard_model = shard_model
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -116,17 +131,27 @@ class UncertaintyGuidedProgressiveTrainer:
         if stage not in self.variables:
             res = self.stage_configs[stage]["resolution"]
             x = jnp.zeros((1, res, res, self.in_channels), jnp.float32)
-            self.variables[stage] = self.modules[stage].init(
+            variables = self.modules[stage].init(
                 self._init_rngs[stage], x, False
             )
+            self.variables[stage] = self._shard(variables)
         return self.variables[stage]
 
+    def _shard(self, variables):
+        if self.mesh is None:
+            return variables
+        return shard_variables(variables, self.mesh, self.shard_model)
+
     def setup_optimizer(self, stage: int):
-        """Fresh torch-parity RMSprop for the stage (ref: :81-88)."""
+        """Fresh torch-parity RMSprop for the stage (ref: :81-88).
+
+        Under a mesh, variables are (re-)sharded here — stage entry — so the
+        optimizer state inherits the same layout."""
         self._tx = torch_rmsprop(
             self.stage_configs[stage]["lr"], weight_decay=self.weight_decay
         )
-        variables = self._ensure_variables(stage)
+        variables = self._shard(self._ensure_variables(stage))
+        self.variables[stage] = variables
         self._state = TrainState.create(variables, self._tx)
         return self._tx
 
@@ -180,9 +205,16 @@ class UncertaintyGuidedProgressiveTrainer:
     def _prev_variables(self, stage: int):
         return self._ensure_variables(stage - 1) if stage > 1 else {}
 
-    @staticmethod
-    def _as_batch(batch):
+    def _as_batch(self, batch):
         images, masks = batch
+        if self.mesh is not None:
+            if jax.process_count() > 1:
+                # each host contributes its local shard of the global batch
+                return global_batch((np.asarray(images), np.asarray(masks)),
+                                    self.mesh)
+            return shard_batch(
+                (jnp.asarray(images), jnp.asarray(masks)), self.mesh
+            )
         return jnp.asarray(images), jnp.asarray(masks)
 
     # ------------------------------------------------------------------
@@ -192,10 +224,13 @@ class UncertaintyGuidedProgressiveTrainer:
         step_fn = self._get_train_step(stage)
         prev_vars = self._prev_variables(stage)
         acc: list[dict] = []
-        for batch_idx, batch in enumerate(dataloader):
+        # double-buffered host->HBM prefetch: batch k+1 transfers (and shards,
+        # under a mesh) while the step for batch k runs
+        batches = prefetch_to_device(iter(dataloader), size=2, put=self._as_batch)
+        for batch_idx, batch in enumerate(batches):
             self._aug_key, sub = jax.random.split(self._aug_key)
             self._state, metrics = step_fn(
-                self._state, prev_vars, self._as_batch(batch), self.pos_weight, sub
+                self._state, prev_vars, batch, self.pos_weight, sub
             )
             acc.append(metrics)
             if self.verbose and batch_idx % 10 == 0:
@@ -216,9 +251,9 @@ class UncertaintyGuidedProgressiveTrainer:
         step_fn = self._get_eval_step(stage)
         prev_vars = self._prev_variables(stage)
         variables = self._state.variables if self._state else self._ensure_variables(stage)
+        batches = prefetch_to_device(iter(dataloader), size=2, put=self._as_batch)
         acc = [
-            step_fn(variables, prev_vars, self._as_batch(b), self.pos_weight)
-            for b in dataloader
+            step_fn(variables, prev_vars, b, self.pos_weight) for b in batches
         ]
         return self._average(acc)
 
