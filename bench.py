@@ -1,39 +1,75 @@
-"""Flagship benchmark: stage-4 256x256 segmentation inference emitting
-uncertainty maps (BASELINE.json config 2), img/s per chip.
+"""Benchmarks for every BASELINE.json config; one JSON line per run.
 
-Baseline: the reference publishes no numbers (BASELINE.md), so the
-denominator is the measured PyTorch-CPU throughput of the same stage-4
-topology on this machine: 1.29 img/s (batch 8, 1 thread, 1-core container;
-tools/baseline_torch.py, measured 2026-08-16).
+Default (no args) = config 2, the flagship: stage-4 256x256 segmentation
+inference emitting uncertainty maps, img/s per chip.  ``--config N`` selects:
 
-Methodology: each timed call fetches a scalar checksum to the host, forcing
-complete execution — under the remote-TPU tunnel, ``block_until_ready`` on
-dispatch queues can return before the work runs, so async-pipelined timings
-over-report.  Numbers here are therefore conservative (one unoverlapped
-round trip per batch included).
+    1  stage-1 32px binary-seg fused train step (fwd/bwd/RMSprop)
+    2  stage-4 256px inference + uncertainty maps (flagship)
+    3  stage-4 Herlev 7-class classification inference @224px
+    4  full progressive train 32->64->128->256 (transfer + uncertainty)
+    5  stage-4 aug-path train step (on-device augmentation fused in)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines are the measured PyTorch-CPU numbers in
+``tools/baseline_measured.json`` — regenerable with
+``python tools/baseline_torch.py --config N`` (the reference publishes no
+numbers; BASELINE.md).
+
+Timing methodology (chained barrier): each timed call consumes the previous
+call's result (inference chains a checksum into the next input; train steps
+chain the TrainState), so the device MUST execute every step sequentially —
+remote execution caching cannot elide work and reordering is impossible.
+One host fetch of the final chained scalar closes the sequence.  This
+measures true device throughput; a per-call host fetch would additionally
+charge one tunnel round trip per batch (~25% slower through the axon
+tunnel; both numbers are reported by tools/profile_tpu.py).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
-TORCH_CPU_BASELINE_IMG_S = 1.29  # tools/baseline_torch.py on this host
+_BASELINE_FILE = Path(__file__).resolve().parent / "tools" / "baseline_measured.json"
+_BASELINE_KEYS = {
+    1: "config1_stage1_train_img_per_s",
+    2: "config2_stage4_inference_img_per_s",
+    3: "config3_cls_inference_img_per_s",
+    4: "config4_progressive_train_img_per_s",
+    5: "config5_aug_train_img_per_s",
+}
 
 
-def main():
-    import jax
+def _baseline(config: int) -> float | None:
+    try:
+        data = json.loads(_BASELINE_FILE.read_text())
+        return data.get(_BASELINE_KEYS[config])
+    except (OSError, ValueError):
+        return None
 
-    # persistent compilation cache: repeated driver runs skip the (remote)
-    # compile entirely
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
+def _best_rate(run_chain, batches, iters=10):
+    """img/s over candidate batch sizes; run_chain(batch, iters) executes a
+    chained sequence and blocks on its final scalar."""
+    best, best_batch = 0.0, 0
+    for batch in batches:
+        run_chain(batch, 1)  # compile + warm
+        t0 = time.perf_counter()
+        run_chain(batch, iters)
+        dt = time.perf_counter() - t0
+        rate = batch * iters / dt
+        if rate > best:
+            best, best_batch = rate, batch
+    return best, best_batch
+
+
+# ---------------------------------------------------------------------------
+
+
+def bench_config2(jnp, jax):
     from ugpg_tpu.models.pgunet import PGUNet4
     from ugpg_tpu.uncertainty import binary_uncertainty
 
@@ -43,47 +79,216 @@ def main():
     )
 
     @jax.jit
-    def forward(v, x, i):
-        x = x + i * 1e-6  # unique per call: defeats remote execution caching
+    def forward(v, x, s):
+        x = x + s * 1e-20  # chain: depends on the previous call's checksum
         logits = module.apply(v, x, False)
         probs = jax.nn.sigmoid(logits)
         preds = (probs > 0.5).astype(jnp.bfloat16)
+        del preds
         unc = binary_uncertainty(probs)
-        return preds, probs, unc, jnp.sum(unc)
+        return jnp.sum(unc)
 
     rng = np.random.default_rng(0)
-    best = 0.0
-    best_batch = 0
-    for batch in (64, 128):
-        x = jnp.asarray(rng.random((batch, 256, 256, 3), dtype=np.float32))
-        # warmup / compile
-        float(forward(variables, x, jnp.float32(0))[3])
-        float(forward(variables, x, jnp.float32(1))[3])
-        iters = 8
-        times = []
-        for k in range(iters):
-            t0 = time.perf_counter()
-            out = forward(variables, x, jnp.float32(k + 2))
-            float(out[3])  # host fetch = hard completion barrier
-            times.append(time.perf_counter() - t0)
-        # median per-batch latency (robust to tunnel jitter)
-        lat = float(np.median(times))
-        rate = batch / lat
-        if rate > best:
-            best, best_batch = rate, batch
+    cache = {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "stage4_256px_inference_with_uncertainty_img_per_s",
-                "value": round(best, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(best / TORCH_CPU_BASELINE_IMG_S, 2),
-                "batch": best_batch,
-                "device": str(jax.devices()[0]),
-            }
-        )
+    def run_chain(batch, iters):
+        if batch not in cache:
+            cache[batch] = jnp.asarray(
+                rng.random((batch, 256, 256, 3), dtype=np.float32)
+            )
+        s = jnp.float32(1.0)
+        for _ in range(iters):
+            s = forward(variables, cache[batch], s)
+        float(s)
+
+    rate, batch = _best_rate(run_chain, (64, 128))
+    return {
+        "metric": "stage4_256px_inference_with_uncertainty_img_per_s",
+        "value": round(rate, 2),
+        "unit": "img/s/chip",
+        "batch": batch,
+    }
+
+
+def bench_config1(jnp, jax):
+    from ugpg_tpu.models.pgunet import PGUNet1
+    from ugpg_tpu.train.optim import torch_rmsprop
+    from ugpg_tpu.train.steps import TrainState, make_seg_train_step
+
+    module = PGUNet1(num_classes=1, dtype=jnp.bfloat16)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    tx = torch_rmsprop(3e-4, weight_decay=1e-4)
+    step = make_seg_train_step(module, tx, 1, 32, donate=False, fused_loss=False)
+    rng = np.random.default_rng(0)
+    pw = jnp.asarray(5.0)
+    cache = {}
+
+    def run_chain(batch, iters):
+        if batch not in cache:
+            cache[batch] = (
+                jnp.asarray(rng.random((batch, 32, 32, 3), dtype=np.float32)),
+                jnp.asarray((rng.random((batch, 32, 32, 1)) > 0.7).astype(np.float32)),
+            )
+        x, y = cache[batch]
+        state = TrainState.create(variables, tx)  # params chain through steps
+        m = None
+        for k in range(iters):
+            state, m = step(state, {}, (x, y), pw, jax.random.key(k))
+        float(m["final_loss"])
+
+    rate, batch = _best_rate(run_chain, (16, 256))
+    return {
+        "metric": "stage1_32px_train_step_img_per_s",
+        "value": round(rate, 2),
+        "unit": "img/s/chip",
+        "batch": batch,
+    }
+
+
+def bench_config3(jnp, jax):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    module = HerlevClassificationModel(stage=4, num_classes=7, dtype=jnp.bfloat16)
+    variables = jax.device_put(
+        module.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), False)
     )
+
+    @jax.jit
+    def forward(v, x, s):
+        logits = module.apply(v, x + s * 1e-20, False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.sum(probs)
+
+    rng = np.random.default_rng(0)
+    cache = {}
+
+    def run_chain(batch, iters):
+        if batch not in cache:
+            cache[batch] = jnp.asarray(
+                rng.random((batch, 224, 224, 3), dtype=np.float32)
+            )
+        s = jnp.float32(1.0)
+        for _ in range(iters):
+            s = forward(variables, cache[batch], s)
+        float(s)
+
+    rate, batch = _best_rate(run_chain, (16, 256))
+    return {
+        "metric": "stage4_herlev_cls_inference_img_per_s",
+        "value": round(rate, 2),
+        "unit": "img/s/chip",
+        "batch": batch,
+    }
+
+
+def bench_config4(jnp, jax, batch: int = 4, steps_per_stage: int = 2):
+    """Same tiny fixed workload as tools/baseline_torch.py
+    bench_progressive_train: 4 stages x steps, transfer + uncertainty,
+    driven through the REAL trainer methods (no checkpoint I/O or
+    validation — the torch baseline does neither)."""
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    cfgs = {
+        s: {"resolution": r, "epochs_per_stage": steps_per_stage, "lr": lr}
+        for s, r, lr in ((1, 32, 3e-4), (2, 64, 1e-4), (3, 128, 1e-4), (4, 256, 1e-4))
+    }
+    rng = np.random.default_rng(0)
+    imgs = rng.random((batch, 256, 256, 3), dtype=np.float32)
+    masks = (rng.random((batch, 256, 256, 1)) > 0.7).astype(np.float32)
+    loader = [(imgs, masks)]
+
+    def drive(trainer):
+        for stage in (1, 2, 3, 4):
+            if stage > 1:
+                trainer.transfer_weights(stage - 1, stage)
+            trainer.current_stage = stage
+            trainer.setup_optimizer(stage)
+            for _ in range(steps_per_stage):
+                trainer.train_epoch(loader, stage)
+
+    warm = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, dtype=jnp.bfloat16
+    )
+    drive(warm)  # compile all 4 stage programs
+    timed = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, dtype=jnp.bfloat16
+    )
+    timed._train_steps = warm._train_steps
+    t0 = time.perf_counter()
+    drive(timed)
+    dt = time.perf_counter() - t0
+    n_images = 4 * steps_per_stage * batch
+    return {
+        "metric": "progressive_train_4stage_img_per_s",
+        "value": round(n_images / dt, 2),
+        "unit": "img/s/chip",
+        "batch": batch,
+        "wall_s": round(dt, 2),
+    }
+
+
+def bench_config5(jnp, jax):
+    from ugpg_tpu.models.pgunet import PGUNet4
+    from ugpg_tpu.train.optim import torch_rmsprop
+    from ugpg_tpu.train.steps import TrainState, make_seg_train_step
+
+    module = PGUNet4(num_classes=1, dtype=jnp.bfloat16)
+    variables = module.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)), False)
+    tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+    step = make_seg_train_step(
+        module, tx, 4, 256, donate=False, augment=True, fused_loss=False
+    )
+    rng = np.random.default_rng(0)
+    pw = jnp.asarray(5.0)
+    cache = {}
+
+    def run_chain(batch, iters):
+        if batch not in cache:
+            cache[batch] = (
+                jnp.asarray(rng.random((batch, 256, 256, 3), dtype=np.float32)),
+                jnp.asarray((rng.random((batch, 256, 256, 1)) > 0.7).astype(np.float32)),
+            )
+        x, y = cache[batch]
+        state = TrainState.create(variables, tx)
+        m = None
+        for k in range(iters):
+            state, m = step(state, {}, (x, y), pw, jax.random.key(k))
+        float(m["final_loss"])
+
+    rate, batch = _best_rate(run_chain, (8, 64), iters=8)
+    return {
+        "metric": "stage4_aug_train_step_img_per_s",
+        "value": round(rate, 2),
+        "unit": "img/s/chip",
+        "batch": batch,
+    }
+
+
+BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+           4: bench_config4, 5: bench_config5}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=int, default=2, choices=sorted(BENCHES))
+    args = p.parse_args(argv)
+
+    import jax
+
+    # persistent compilation cache: repeated driver runs skip the (remote)
+    # compile entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    result = BENCHES[args.config](jnp, jax)
+    base = _baseline(args.config)
+    result["vs_baseline"] = (
+        round(result["value"] / base, 2) if base else None
+    )
+    result["config"] = args.config
+    result["device"] = str(jax.devices()[0])
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
