@@ -63,3 +63,89 @@ def test_predictor_fold_matches_unfolded(ckpt, rng):
     np.testing.assert_allclose(
         p_folded(x)[1], p_plain(x)[1], rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.fixture(scope="module")
+def cls_ckpt(tmp_path_factory):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    tmp = tmp_path_factory.mktemp("serve_cls")
+    module = HerlevClassificationModel(stage=1, num_classes=5)
+    v = module.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)), False)
+    return save_checkpoint(tmp / "c1", v, metadata={"stage": 1})
+
+
+def test_predictor_buckets_route_and_match(ckpt, rng):
+    p = Predictor(str(ckpt), dtype=None, buckets=(1, 2, 8))
+    assert p.buckets == (1, 2, 8)
+    assert p.batch_size == 8
+    x = rng.random((5, 32, 32, 3)).astype(np.float32)
+    probs_all = p(x)[1]
+    # single image routes through the 1-bucket and must match
+    probs_one = p(x[:1])[1]
+    np.testing.assert_allclose(probs_one, probs_all[:1], atol=1e-6)
+    assert p._bucket_for(1) == 1 and p._bucket_for(2) == 2
+    assert p._bucket_for(3) == 8 and p._bucket_for(99) == 8
+
+
+def test_classification_predictor(cls_ckpt, rng):
+    p = Predictor(str(cls_ckpt), task_type="classification",
+                  num_classes=5, dtype=None, buckets=(4,))
+    x = rng.random((6, 32, 32, 3)).astype(np.float32)
+    labels, probs = p(x)
+    assert labels.shape == (6,) and probs.shape == (6, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert np.array_equal(labels, probs.argmax(-1))
+
+
+def test_predictor_rejects_bad_task_type(ckpt):
+    with pytest.raises(ValueError, match="task_type"):
+        Predictor(str(ckpt), task_type="detection")
+
+
+def test_batching_server_coalesces_and_matches(ckpt, rng):
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    p = Predictor(str(ckpt), dtype=None, buckets=(4,))
+    server = BatchingServer(p, max_latency_ms=50.0)
+    imgs = rng.random((6, 32, 32, 3)).astype(np.float32)
+    futures = [server.submit(im) for im in imgs]
+    results = [f.result(timeout=30) for f in futures]
+    server.close()
+    want = p(imgs)
+    for i, res in enumerate(results):
+        assert len(res) == 3
+        np.testing.assert_allclose(res[1], want[1][i], atol=1e-5)
+
+
+def test_batching_server_single_request_deadline(ckpt, rng):
+    """One lone request must be served within ~the deadline, not wait for a
+    full bucket."""
+    import time as _time
+
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    p = Predictor(str(ckpt), dtype=None, buckets=(8,))
+    p(rng.random((1, 32, 32, 3)).astype(np.float32))  # warm resize jit
+    server = BatchingServer(p, max_latency_ms=20.0)
+    t0 = _time.monotonic()
+    fut = server.submit(rng.random((32, 32, 3)).astype(np.float32))
+    out = fut.result(timeout=30)
+    elapsed = _time.monotonic() - t0
+    server.close()
+    assert out[0].shape == (32, 32, 1)
+    assert elapsed < 10.0  # generous CI bound; deadline is 20 ms
+
+
+def test_batching_server_close_drains(ckpt, rng):
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    p = Predictor(str(ckpt), dtype=None, buckets=(4,))
+    server = BatchingServer(p, max_latency_ms=1000.0)
+    futs = [server.submit(rng.random((32, 32, 3)).astype(np.float32))
+            for _ in range(3)]
+    server.close()  # must flush the pending partial batch
+    for f in futs:
+        assert f.result(timeout=5)[1].shape == (32, 32, 1)
+    with pytest.raises(RuntimeError):
+        server.submit(rng.random((32, 32, 3)).astype(np.float32))

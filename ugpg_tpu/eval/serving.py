@@ -1,24 +1,35 @@
-"""Production inference: fixed-shape compiled predictor with padding.
+"""Production inference: fixed-shape compiled predictors, micro-batching.
 
-Serving on TPU wants static shapes (one compiled executable), saturated
-batches, and no stragglers recompiling.  ``Predictor`` wraps a checkpoint
-as exactly that:
+Serving on TPU wants static shapes (one compiled executable per shape),
+saturated batches, and no stragglers recompiling.  Three layers:
 
-* the forward (resize -> model -> sigmoid -> threshold -> uncertainty map)
-  is AOT-compiled once per configured batch size via ``jit(...).lower().
-  compile()`` — first request pays nothing;
-* ragged request batches are padded up to the compiled batch size and the
-  padding stripped from the response;
-* larger workloads stream in compiled-batch chunks, optionally overlapping
-  host->HBM transfer with compute via the double-buffered prefetcher.
+* ``Predictor`` — a checkpoint AOT-compiled at one or more batch-size
+  *buckets* (``jit(...).lower().compile()``; first request pays nothing).
+  Ragged request batches route to the smallest bucket that fits (padding
+  stripped from the response), so low-load latency is not taxed by the
+  throughput bucket.  Segmentation (preds/probs/uncertainty) and
+  classification (``task_type="classification"``: labels/probs) flavors.
+* ``Predictor.stream`` — bulk scoring with the host->HBM copy of batch k+1
+  overlapped with compute of batch k (double-buffered prefetch).
+* ``BatchingServer`` — a dynamic micro-batcher: concurrent ``submit()``
+  callers are coalesced until a bucket fills or ``max_latency_ms`` expires,
+  one device call serves the group, futures resolve per caller.  The
+  standard TPU-serving front end (deadline-bounded batching), absent from
+  the reference (per-image Python loop, ref: test_monuseg.py:164-201).
 
-The reference has no serving story (per-image Python loop in
-test_monuseg.py:164-201); this is the framework-native replacement.
+BatchNorm folding (``fold_bn=True``) bakes the BN affine into conv weights
+(models/folding.py) — numerically identical, slightly smaller weight set;
+measured on v5e it is throughput-neutral because XLA already fuses
+eval-mode BN into the conv epilogue (see BASELINE.md).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Iterator, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,15 +40,19 @@ from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners
 from ugpg_tpu.uncertainty import binary_uncertainty
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "BatchingServer"]
 
 
 class Predictor:
-    """Fixed-batch compiled segmentation predictor.
+    """Fixed-bucket compiled predictor.
 
     Example:
-        p = Predictor("out/ug_pgunet_stage4_best", batch_size=64)
+        p = Predictor("out/ug_pgunet_stage4_best", buckets=(1, 8, 64))
         preds, probs, unc = p(images)          # any leading batch size
+
+        c = Predictor("out/herlev_stage4_best", task_type="classification",
+                      num_classes=7)
+        labels, probs = c(images)
     """
 
     def __init__(
@@ -49,73 +64,112 @@ class Predictor:
         threshold: float = 0.5,
         emit_uncertainty: bool = True,
         fold_bn: bool = True,
+        task_type: str = "segmentation",
+        buckets: Sequence[int] | None = None,
     ):
-        self.batch_size = batch_size
+        if task_type not in ("segmentation", "classification"):
+            raise ValueError(f"unknown task_type: {task_type!r}")
+        self.task_type = task_type
+        self.buckets = tuple(sorted(set(buckets or (batch_size,))))
+        self.batch_size = self.buckets[-1]
         self.stage = sniff_stage(checkpoint, default=4)
-        self.resolution = STAGE_RESOLUTIONS[self.stage]
-        self.module = STAGE_MODELS[self.stage](
-            num_classes=num_classes, dtype=dtype, use_bn=not fold_bn
-        )
-        template_module = STAGE_MODELS[self.stage](
-            num_classes=num_classes, dtype=dtype
-        )
-        template = template_module.init(
-            jax.random.key(0),
-            jnp.zeros((1, self.resolution, self.resolution, 3)),
-            False,
-        )
-        variables = load_checkpoint(checkpoint, variables_template=template)[0]
-        if fold_bn:
-            # fold BN stats into conv weights: smaller weight set, BN-free
-            # serving graph (models/folding.py); numerically identical
-            from ugpg_tpu.models.folding import fold_batchnorm
 
-            variables = fold_batchnorm(variables)
+        if task_type == "classification":
+            from ugpg_tpu.models.classifier import (
+                CLS_STAGE_RESOLUTIONS,
+                HerlevClassificationModel,
+            )
+
+            self.resolution = CLS_STAGE_RESOLUTIONS[self.stage]
+            # classification keeps live BN (the eval path is numerically
+            # identical either way; folding targets the seg stages)
+            self.module = HerlevClassificationModel(
+                stage=self.stage, num_classes=num_classes, dtype=dtype
+            )
+            template = self.module.init(
+                jax.random.key(0),
+                jnp.zeros((1, self.resolution, self.resolution, 3)),
+                False,
+            )
+            variables = load_checkpoint(checkpoint, variables_template=template)[0]
+            n_outputs = 2
+
+            def forward(variables, images):
+                logits = self.module.apply(variables, images, False)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+        else:
+            self.resolution = STAGE_RESOLUTIONS[self.stage]
+            self.module = STAGE_MODELS[self.stage](
+                num_classes=num_classes, dtype=dtype, use_bn=not fold_bn
+            )
+            template_module = STAGE_MODELS[self.stage](
+                num_classes=num_classes, dtype=dtype
+            )
+            template = template_module.init(
+                jax.random.key(0),
+                jnp.zeros((1, self.resolution, self.resolution, 3)),
+                False,
+            )
+            variables = load_checkpoint(checkpoint, variables_template=template)[0]
+            if fold_bn:
+                from ugpg_tpu.models.folding import fold_batchnorm
+
+                variables = fold_batchnorm(variables)
+            emit_unc = emit_uncertainty
+            n_outputs = 3
+
+            def forward(variables, images):
+                logits = self.module.apply(variables, images, False)
+                probs = jax.nn.sigmoid(logits)
+                preds = (probs > threshold).astype(jnp.float32)
+                unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
+                return preds, probs, unc
+
         self.variables = jax.device_put(variables)
+        self._n_outputs = n_outputs
         res = self.resolution
-        emit_unc = emit_uncertainty
 
-        def forward(variables, images):
-            # images arrive pre-resized to the model resolution (the AOT
-            # executable has a fixed input shape; resizing runs in a small
-            # per-input-size jit outside)
-            logits = self.module.apply(variables, images, False)
-            probs = jax.nn.sigmoid(logits)
-            preds = (probs > threshold).astype(jnp.float32)
-            unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
-            return preds, probs, unc
-
-        # AOT compile for the fixed serving shape: no first-request latency
-        shape = jax.ShapeDtypeStruct(
-            (batch_size, res, res, 3), jnp.float32
-        )
-        self._compiled = jax.jit(forward).lower(self.variables, shape).compile()
+        # AOT compile one executable per bucket: no first-request latency
+        self._compiled = {}
+        for b in self.buckets:
+            shape = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
+            self._compiled[b] = (
+                jax.jit(forward).lower(self.variables, shape).compile()
+            )
         self._resize = jax.jit(
             lambda x: resize_bilinear_align_corners(x, (res, res))
         )
 
     # ------------------------------------------------------------------
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
     def _run_padded(self, chunk: np.ndarray):
         n = chunk.shape[0]
-        if n < self.batch_size:
-            pad = np.zeros(
-                (self.batch_size - n, *chunk.shape[1:]), chunk.dtype
-            )
+        bucket = self._bucket_for(n)
+        if n < bucket:
+            pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
             chunk = np.concatenate([chunk, pad])
         x = self._resize(jnp.asarray(chunk))
-        preds, probs, unc = self._compiled(self.variables, x)
-        return preds[:n], probs[:n], unc[:n]
+        outs = self._compiled[bucket](self.variables, x)
+        return tuple(o[:n] for o in outs)
 
     def __call__(self, images: np.ndarray):
-        """images: (N, H, W, 3) float32 in [0,1]; any N.  Returns numpy
-        (preds, probs, uncertainty) at model resolution."""
+        """images: (N, H, W, 3) float32 in [0,1]; any N.  Segmentation ->
+        numpy (preds, probs, uncertainty); classification -> (labels, probs)."""
         images = np.asarray(images, np.float32)
         outs = [
             self._run_padded(images[s : s + self.batch_size])
             for s in range(0, len(images), self.batch_size)
         ]
         return tuple(
-            np.concatenate([np.asarray(o[i]) for o in outs]) for i in range(3)
+            np.concatenate([np.asarray(o[i]) for o in outs])
+            for i in range(self._n_outputs)
         )
 
     def stream(self, batches: Iterator[np.ndarray], prefetch: int = 2):
@@ -123,25 +177,107 @@ class Predictor:
         host->HBM copy of batch k+1 overlapped with compute of batch k."""
         from ugpg_tpu.data.loader import prefetch_to_device
 
+        top = self.batch_size
+
         def as_device_batches():
             for b in batches:
                 b = np.asarray(b, np.float32)
                 n = b.shape[0]
-                if n < self.batch_size:
+                if n < top:
                     b = np.concatenate(
-                        [b, np.zeros((self.batch_size - n, *b.shape[1:]),
-                                     np.float32)]
+                        [b, np.zeros((top - n, *b.shape[1:]), np.float32)]
                     )
                 yield (b, n)
 
         for device_batch, n in prefetch_to_device(
             as_device_batches(), size=prefetch
         ):
-            preds, probs, unc = self._compiled(
-                self.variables, self._resize(device_batch)
-            )
-            yield (
-                np.asarray(preds[: int(n)]),
-                np.asarray(probs[: int(n)]),
-                np.asarray(unc[: int(n)]),
-            )
+            outs = self._compiled[top](self.variables, self._resize(device_batch))
+            yield tuple(np.asarray(o[: int(n)]) for o in outs)
+
+
+class BatchingServer:
+    """Deadline-bounded dynamic micro-batcher over a ``Predictor``.
+
+    ``submit(image)`` returns a ``concurrent.futures.Future`` immediately;
+    a background worker coalesces queued requests into one device call when
+    either (a) the largest bucket fills, or (b) the oldest queued request
+    has waited ``max_latency_ms``.  Per-request results resolve on the
+    futures (a tuple of per-output arrays for that single image).
+    """
+
+    def __init__(self, predictor: Predictor, max_latency_ms: float = 5.0):
+        self.predictor = predictor
+        self.max_latency_s = max_latency_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, image: np.ndarray) -> Future:
+        """image: (H, W, 3) float32 in [0,1]."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(image, np.float32), fut))
+        return fut
+
+    def close(self):
+        """Drain outstanding requests, then stop the worker."""
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+        # resolve any request that raced the shutdown sentinel
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            image, fut = item
+            try:
+                outs = self.predictor(image[None])
+                fut.set_result(tuple(o[0] for o in outs))
+            except Exception as exc:
+                fut.set_exception(exc)
+
+    # ------------------------------------------------------------------
+    def _collect(self):
+        """Block for the first request, then gather more until the largest
+        bucket fills or the deadline passes.  Returns (items, saw_sentinel)."""
+        first = self._q.get()
+        if first is None:
+            return [], True
+        items = [first]
+        cap = self.predictor.batch_size
+        deadline = time.monotonic() + self.max_latency_s
+        saw_sentinel = False
+        while len(items) < cap:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                saw_sentinel = True
+                break
+            items.append(nxt)
+        return items, saw_sentinel
+
+    def _loop(self):
+        while True:
+            items, stop = self._collect()
+            if items:
+                images = np.stack([im for im, _ in items])
+                try:
+                    outs = self.predictor(images)
+                    for i, (_, fut) in enumerate(items):
+                        fut.set_result(tuple(o[i] for o in outs))
+                except Exception as exc:  # resolve futures, don't kill worker
+                    for _, fut in items:
+                        fut.set_exception(exc)
+            if stop:
+                return
