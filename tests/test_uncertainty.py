@@ -137,3 +137,16 @@ def test_uncertainty_guided_loss_class_facade(rng):
     assert float(final) >= float(base)
     final1, base1 = ugl.apply_uncertainty_weighted_loss(loss_fn, out, tgt, None)
     np.testing.assert_allclose(float(final1), float(base1))
+
+
+def test_facade_accepts_readme_task_type_kwarg():
+    """README-style ctor (ref: README.md:52) and code-style ctor both work."""
+    import pytest
+
+    from ugpg_tpu.uncertainty import UncertaintyGuidedLoss
+
+    a = UncertaintyGuidedLoss(task_type="segmentation")
+    b = UncertaintyGuidedLoss("cuda")  # device string accepted and ignored
+    assert a.task_type == "segmentation" and b.device == "cuda"
+    with pytest.raises(ValueError, match="task_type"):
+        UncertaintyGuidedLoss(task_type="detection")

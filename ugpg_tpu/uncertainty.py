@@ -113,15 +113,19 @@ def classification_uncertainty_weights(
 class UncertaintyGuidedLoss:
     """API-parity facade over the pure functions above.
 
-    The reference exposes ``UncertaintyGuidedLoss(device)`` with
-    ``generate_uncertainty_map`` / ``apply_uncertainty_weighted_loss``
-    methods (ref: UG_unet.py:8-94).  JAX needs no device handle — the
-    argument is accepted and ignored for drop-in compatibility.  Prefer the
-    module-level functions in new code; they jit/fuse into the train step.
+    The reference's code exposes ``UncertaintyGuidedLoss(device)`` (ref:
+    UG_unet.py:8-94) while its README documents
+    ``UncertaintyGuidedLoss(task_type='segmentation')`` (ref: README.md:52);
+    both call styles are accepted.  JAX needs no device handle — the
+    argument is kept for drop-in compatibility.  Prefer the module-level
+    functions in new code; they jit/fuse into the train step.
     """
 
-    def __init__(self, device=None):
+    def __init__(self, device=None, task_type: str = "segmentation"):
+        if task_type not in ("segmentation", "classification"):
+            raise ValueError(f"unknown task_type: {task_type!r}")
         self.device = device
+        self.task_type = task_type
 
     def generate_uncertainty_map(
         self, input_current, prev_apply, prev_resolution, current_resolution
