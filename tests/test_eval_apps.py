@@ -134,3 +134,19 @@ def test_demo_cli(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     main(["--demo", "alpha"])
     main(["--demo", "uncertainty"])
+
+
+def test_train_monuseg_cli_with_mesh(tmp_path, rng):
+    """--mesh DATA,MODEL end to end through the train CLI on the fake
+    8-device mesh (plain dataset path, 1 stage, 1 epoch)."""
+    from ugpg_tpu.cli.train_monuseg import main as train_main
+
+    root = write_monuseg_tree(tmp_path / "M3", n_train=4, n_val=2, size=64)
+    out = tmp_path / "out_mesh"
+    train_main([
+        "--data_dir", str(root), "--output_dir", str(out),
+        "--stages", "1", "--epochs", "1", "--batch_size", "4",
+        "--plain", "--mesh", "4,2", "--checkpoint_every", "1",
+    ])
+    assert (out / "training_log.csv").exists()
+    assert (out / "ug_pgunet_stage1_best" / "variables.msgpack").exists()

@@ -53,7 +53,11 @@ class AugMoNuSegTrainer(UncertaintyGuidedProgressiveTrainer):
 
             kwargs["stage_configs"] = {
                 s: {**cfg, "epochs_per_stage": config["epochs_per_stage"],
-                    "lr": config.get("lr", cfg["lr"])}
+                    # config["lr"] is None unless the user overrode it
+                    # (--lr); None must fall back to the stage default, not
+                    # reach torch_rmsprop (an lr of None would not be
+                    # injected as a mutable hyperparameter)
+                    "lr": config.get("lr") or cfg["lr"]}
                 for s, cfg in DEFAULT_STAGE_CONFIGS.items()
             }
         super().__init__(**kwargs)

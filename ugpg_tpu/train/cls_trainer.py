@@ -158,9 +158,13 @@ class HerlevTrainer:
                 return global_batch(
                     (np.asarray(batch[0]), np.asarray(batch[1])), self.mesh
                 )
-            return shard_batch(
-                (jnp.asarray(batch[0]), jnp.asarray(batch[1])), self.mesh
-            )
+            n = np.asarray(batch[0]).shape[0]
+            if n % self.mesh.shape["data"] == 0:
+                return shard_batch(
+                    (jnp.asarray(batch[0]), jnp.asarray(batch[1])), self.mesh
+                )
+            # ragged straggler batch: replicate (numerically identical,
+            # just not data-parallel for this one batch)
         return jnp.asarray(batch[0]), jnp.asarray(batch[1])
 
     def load_pretrained_unet(self, stage: int, ckpt_path: str):

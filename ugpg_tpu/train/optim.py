@@ -95,6 +95,8 @@ def torch_rmsprop(
     weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """torch.optim.RMSprop parity (no momentum, non-centered)."""
+    if learning_rate is None:
+        raise ValueError("learning_rate must be a number, got None")
 
     @optax.inject_hyperparams
     def make(lr):
@@ -115,6 +117,8 @@ def torch_adam(
     weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """torch.optim.Adam parity (L2-coupled weight decay, not AdamW)."""
+    if learning_rate is None:
+        raise ValueError("learning_rate must be a number, got None")
 
     @optax.inject_hyperparams
     def make(lr):

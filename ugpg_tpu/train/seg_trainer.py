@@ -212,9 +212,14 @@ class UncertaintyGuidedProgressiveTrainer:
                 # each host contributes its local shard of the global batch
                 return global_batch((np.asarray(images), np.asarray(masks)),
                                     self.mesh)
-            return shard_batch(
-                (jnp.asarray(images), jnp.asarray(masks)), self.mesh
-            )
+            n = np.asarray(images).shape[0]
+            if n % self.mesh.shape["data"] == 0:
+                return shard_batch(
+                    (jnp.asarray(images), jnp.asarray(masks)), self.mesh
+                )
+            # ragged straggler batch (e.g. dataset tail): replicate instead
+            # of sharding — numerically identical, just not data-parallel
+            # for this one batch
         return jnp.asarray(images), jnp.asarray(masks)
 
     # ------------------------------------------------------------------
