@@ -150,3 +150,60 @@ def test_train_monuseg_cli_with_mesh(tmp_path, rng):
     ])
     assert (out / "training_log.csv").exists()
     assert (out / "ug_pgunet_stage1_best" / "variables.msgpack").exists()
+
+
+def test_train_and_test_herlev_cli_end_to_end(tmp_path):
+    """Drive the full Herlev CLI loop: train 1 stage on a synthetic class
+    tree, then evaluate the produced checkpoint with the test CLI."""
+    from tests.test_data_herlev import write_herlev_tree
+    from ugpg_tpu.cli.test_herlev import main as test_main
+    from ugpg_tpu.cli.train_herlev import main as train_main
+
+    root = write_herlev_tree(tmp_path / "H", presplit=True)
+    out = tmp_path / "herlev_out"
+    train_main([
+        "--data_dir", str(root), "--output_dir", str(out),
+        "--stages", "1", "--epochs", "1", "--batch_size", "4",
+    ])
+    ckpt = out / "herlev_stage1_best"
+    assert (ckpt / "variables.msgpack").exists()
+    assert (out / "training_log.csv").exists()
+
+    res = tmp_path / "herlev_eval"
+    test_main([
+        "--model", str(ckpt), "--data_dir", str(root),
+        "--split", "test", "--batch_size", "4",
+        "--output_dir", str(res), "--num_samples", "4",
+    ])
+    import json
+
+    metrics_files = list(res.glob("*.json"))
+    assert metrics_files, "test_herlev CLI wrote no metrics JSON"
+    data = json.loads(metrics_files[0].read_text())
+    assert "accuracy" in json.dumps(data)
+
+
+def test_augment_and_import_torch_cli(tmp_path):
+    """augment_monuseg main writes the aug tree; import_torch main converts
+    a reference-style .pth into a loadable checkpoint."""
+    import torch
+
+    from tests.test_torch_import import make_stage1_sd
+    from ugpg_tpu.cli.augment_monuseg import main as aug_main
+    from ugpg_tpu.cli.import_torch import main as import_main
+
+    root = write_monuseg_tree(tmp_path / "M4", n_train=1, n_val=1, size=64)
+    aug_main(["--data_dir", str(root), "--patch", "32", "--stride", "32",
+              "--variants", "1"])
+    aug_imgs = list((root / "train" / "aug" / "images").glob("*.png"))
+    aug_xmls = list((root / "train" / "aug" / "annots").glob("*.xml"))
+    assert aug_imgs and len(aug_imgs) == len(aug_xmls)
+
+    import numpy as np
+
+    g = np.random.default_rng(0)
+    pth = tmp_path / "ref.pth"
+    torch.save({"stage": 1, "model_state_dict": make_stage1_sd(g)}, pth)
+    out = tmp_path / "imported_cli"
+    import_main(["--pth", str(pth), "--out", str(out)])
+    assert (out / "variables.msgpack").exists()
