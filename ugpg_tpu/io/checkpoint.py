@@ -11,12 +11,22 @@ model variable tree), optional ``opt_state.msgpack``, and ``metadata.json``
 (everything scalar: stage, epoch, metrics, alpha, history, config).  The
 loader sniffs stage from metadata and falls back to stage 4 for bare
 variable files, mirroring the reference's loader semantics.
+
+Two storage backends share that directory layout and metadata schema:
+
+* ``backend="msgpack"`` (default): single-file flax msgpack — zero extra
+  dependencies, fine for single-host checkpoints of this model family.
+* ``backend="orbax"``: `orbax.checkpoint` PyTree storage (the production
+  JAX checkpoint library: sharded-array aware, atomic finalization).  The
+  loader auto-detects whichever backend wrote the directory, so trainers,
+  evaluators, and the serving Predictor read either transparently.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 from typing import Any, Mapping
 
@@ -24,7 +34,23 @@ import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "sniff_stage", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "sniff_stage",
+           "latest_checkpoint", "has_checkpoint"]
+
+_ORBAX_VARS = "variables_orbax"
+_ORBAX_OPT = "opt_state_orbax"
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def has_checkpoint(path: str | os.PathLike) -> bool:
+    """True if ``path`` holds a checkpoint from either backend."""
+    p = Path(path)
+    return (p / "variables.msgpack").exists() or (p / _ORBAX_VARS).exists()
 
 
 def _to_py(obj):
@@ -40,20 +66,37 @@ def _to_py(obj):
     return obj
 
 
+def _orbax_save(target: Path, tree) -> None:
+    if target.exists():
+        shutil.rmtree(target)  # overwrite semantics matching the msgpack path
+    _orbax_checkpointer().save(target.resolve(), tree)
+
+
 def save_checkpoint(
     path: str | os.PathLike,
     variables: Mapping[str, Any],
     opt_state: Any = None,
     metadata: Mapping[str, Any] | None = None,
+    backend: str = "msgpack",
 ) -> Path:
     """Write a checkpoint directory; returns its path."""
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(f"unknown checkpoint backend: {backend!r}")
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_vars = jax.device_get(variables)
-    (path / "variables.msgpack").write_bytes(serialization.to_bytes(host_vars))
-    if opt_state is not None:
-        host_opt = jax.device_get(serialization.to_state_dict(opt_state))
-        (path / "opt_state.msgpack").write_bytes(serialization.to_bytes(host_opt))
+    if backend == "orbax":
+        _orbax_save(path / _ORBAX_VARS, host_vars)
+        if opt_state is not None:
+            _orbax_save(
+                path / _ORBAX_OPT,
+                jax.device_get(serialization.to_state_dict(opt_state)),
+            )
+    else:
+        (path / "variables.msgpack").write_bytes(serialization.to_bytes(host_vars))
+        if opt_state is not None:
+            host_opt = jax.device_get(serialization.to_state_dict(opt_state))
+            (path / "opt_state.msgpack").write_bytes(serialization.to_bytes(host_opt))
     meta = _to_py(dict(metadata or {}))
     (path / "metadata.json").write_text(json.dumps(meta, indent=2))
     return path
@@ -66,26 +109,40 @@ def load_checkpoint(
 ) -> tuple[Any, Any, dict]:
     """Load (variables, opt_state, metadata) from a checkpoint directory.
 
-    With templates, restores exact pytree structure/dtypes; without, returns
-    raw nested dicts of numpy arrays.
+    Auto-detects the storage backend.  With templates, restores exact pytree
+    structure/dtypes; without, returns raw nested dicts of numpy arrays.
     """
     path = Path(path)
-    raw = (path / "variables.msgpack").read_bytes()
-    if variables_template is not None:
-        variables = serialization.from_bytes(variables_template, raw)
-    else:
-        variables = serialization.msgpack_restore(raw)
-
-    opt_state = None
-    opt_file = path / "opt_state.msgpack"
-    if opt_file.exists():
-        raw_opt = opt_file.read_bytes()
-        if opt_state_template is not None:
-            opt_state = serialization.from_state_dict(
-                opt_state_template, serialization.msgpack_restore(raw_opt)
-            )
+    if (path / _ORBAX_VARS).exists():
+        restored = _orbax_checkpointer().restore((path / _ORBAX_VARS).resolve())
+        if variables_template is not None:
+            variables = serialization.from_state_dict(variables_template, restored)
         else:
-            opt_state = serialization.msgpack_restore(raw_opt)
+            variables = restored
+        opt_state = None
+        if (path / _ORBAX_OPT).exists():
+            raw_opt = _orbax_checkpointer().restore((path / _ORBAX_OPT).resolve())
+            if opt_state_template is not None:
+                opt_state = serialization.from_state_dict(opt_state_template, raw_opt)
+            else:
+                opt_state = raw_opt
+    else:
+        raw = (path / "variables.msgpack").read_bytes()
+        if variables_template is not None:
+            variables = serialization.from_bytes(variables_template, raw)
+        else:
+            variables = serialization.msgpack_restore(raw)
+
+        opt_state = None
+        opt_file = path / "opt_state.msgpack"
+        if opt_file.exists():
+            raw_opt = opt_file.read_bytes()
+            if opt_state_template is not None:
+                opt_state = serialization.from_state_dict(
+                    opt_state_template, serialization.msgpack_restore(raw_opt)
+                )
+            else:
+                opt_state = serialization.msgpack_restore(raw_opt)
 
     meta_file = path / "metadata.json"
     metadata = json.loads(meta_file.read_text()) if meta_file.exists() else {}
@@ -111,7 +168,6 @@ def latest_checkpoint(directory: str | os.PathLike, prefix: str = "") -> Path | 
         return None
     candidates = [
         p for p in directory.iterdir()
-        if p.is_dir() and (p / "variables.msgpack").exists()
-        and p.name.startswith(prefix)
+        if p.is_dir() and has_checkpoint(p) and p.name.startswith(prefix)
     ]
     return max(candidates, key=lambda p: p.stat().st_mtime) if candidates else None

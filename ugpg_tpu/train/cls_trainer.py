@@ -80,7 +80,8 @@ class HerlevTrainer:
     """Progressive trainer for Herlev cervical-cell classification."""
 
     def __init__(self, config: Mapping[str, Any], dtype=None, axis_name=None,
-                 seed=0, mesh=None, shard_model: bool = True):
+                 seed=0, mesh=None, shard_model: bool = True,
+                 checkpoint_backend: str = "msgpack"):
         """``mesh``: optional ('data', 'model') ``jax.sharding.Mesh`` — stage
         variables are sharded at stage entry, batches over 'data', and
         multi-process runs feed per-host shards (see
@@ -88,6 +89,7 @@ class HerlevTrainer:
         self.config = dict(config)
         self.mesh = mesh
         self.shard_model = shard_model
+        self.checkpoint_backend = checkpoint_backend
         k = self.config["num_classes"]
         epochs = self.config.get("epochs_per_stage", 30)
         self.stage_configs = {
@@ -384,6 +386,7 @@ class HerlevTrainer:
                         Path(save_dir) / f"herlev_stage{stage}_best",
                         self._state.variables,
                         opt_state=self._state.opt_state,
+                        backend=self.checkpoint_backend,
                         metadata={
                             "stage": stage,
                             "epoch": epoch + 1,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ugpg_tpu.data.loader import prefetch_to_device
-from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ugpg_tpu.io.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from ugpg_tpu.models.pgunet import STAGE_MODELS
 from ugpg_tpu.parallel.distributed import global_batch
 from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
@@ -75,6 +75,7 @@ class UncertaintyGuidedProgressiveTrainer:
         fused_loss: bool = False,
         mesh=None,
         shard_model: bool = True,
+        checkpoint_backend: str = "msgpack",
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -97,6 +98,7 @@ class UncertaintyGuidedProgressiveTrainer:
         self.fused_loss = fused_loss
         self.mesh = mesh
         self.shard_model = shard_model
+        self.checkpoint_backend = checkpoint_backend
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -392,6 +394,7 @@ class UncertaintyGuidedProgressiveTrainer:
                             "uncertainty_alpha": self.uncertainty_alpha,
                             "history": self.history,
                         },
+                        backend=self.checkpoint_backend,
                     )
                 if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
                     save_checkpoint(
@@ -405,6 +408,7 @@ class UncertaintyGuidedProgressiveTrainer:
                             "uncertainty_alpha": self.uncertainty_alpha,
                             "history": self.history,
                         },
+                        backend=self.checkpoint_backend,
                     )
         self._print("Uncertainty-guided progressive training completed!")
         self.save_training_plots(save_path)
@@ -429,7 +433,7 @@ class UncertaintyGuidedProgressiveTrainer:
         for s in range(1, last_stage):
             for suffix in ("best", "last"):
                 ckpt = save_path / f"ug_pgunet_stage{s}_{suffix}"
-                if (ckpt / "variables.msgpack").exists():
+                if has_checkpoint(ckpt):
                     self.load_stage_weights(s, ckpt)
                     break
         return last_stage, int(meta.get("epoch", -1))
