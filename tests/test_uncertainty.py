@@ -150,3 +150,61 @@ def test_facade_accepts_readme_task_type_kwarg():
     assert a.task_type == "segmentation" and b.device == "cuda"
     with pytest.raises(ValueError, match="task_type"):
         UncertaintyGuidedLoss(task_type="detection")
+
+
+def test_mc_dropout_uncertainty_classification():
+    """MC-dropout variance: >0 under active dropout, 0 when rates are 0;
+    mean probs normalized."""
+    import jax
+    import jax.numpy as jnp
+
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+    from ugpg_tpu.uncertainty import mc_dropout_uncertainty
+
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.random((3, 32, 32, 3)).astype(np.float32))
+
+    m = HerlevClassificationModel(stage=1, num_classes=5)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+
+    def apply_fn(xx, rngs):
+        # train=True activates dropout; BN uses batch stats here, which is
+        # fine for the test (standard MC setups freeze BN; both are valid)
+        return m.apply(v, xx, True, rngs=rngs, mutable=["batch_stats"])[0]
+
+    mean, var = mc_dropout_uncertainty(
+        apply_fn, x, jax.random.key(1), num_samples=6,
+        task_type="classification",
+    )
+    assert mean.shape == (3, 5) and var.shape == (3,)
+    np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-5)
+    assert float(jnp.max(var)) > 0.0
+
+    m0 = HerlevClassificationModel(stage=1, num_classes=5,
+                                   dropout_rates=(0.0, 0.0, 0.0))
+    v0 = m0.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+
+    def apply0(xx, rngs):
+        return m0.apply(v0, xx, True, rngs=rngs, mutable=["batch_stats"])[0]
+
+    _, var0 = mc_dropout_uncertainty(apply0, x, jax.random.key(1),
+                                     num_samples=4, task_type="classification")
+    np.testing.assert_allclose(np.asarray(var0), 0.0, atol=1e-12)
+
+
+def test_mc_dropout_uncertainty_segmentation_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from ugpg_tpu.uncertainty import mc_dropout_uncertainty
+
+    def apply_fn(xx, rngs):
+        noise = jax.random.normal(rngs["dropout"], xx.shape[:3] + (1,))
+        return xx.mean(-1, keepdims=True) + 0.1 * noise
+
+    x = jnp.ones((2, 8, 8, 3))
+    mean, var = mc_dropout_uncertainty(apply_fn, x, jax.random.key(0),
+                                       num_samples=5)
+    assert mean.shape == (2, 8, 8, 1) and var.shape == (2, 8, 8, 1)
+    assert 0.0 <= float(mean.min()) and float(mean.max()) <= 1.0
+    assert float(var.max()) > 0.0

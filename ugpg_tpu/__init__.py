@@ -16,6 +16,7 @@ from ugpg_tpu.uncertainty import (
     create_uncertainty_weighted_loss_fn,
     entropy_uncertainty,
     generate_uncertainty_map,
+    mc_dropout_uncertainty,
 )
 
 # data / training / evaluation layers (imported lazily by most users via
@@ -46,6 +47,7 @@ __all__ = [
     "create_uncertainty_weighted_loss_fn",
     "entropy_uncertainty",
     "generate_uncertainty_map",
+    "mc_dropout_uncertainty",
     "apply_uncertainty_weighted_loss",
     "MoNuSegDataset",
     "AugMoNuSegDataset",

@@ -26,6 +26,7 @@ from ugpg_tpu.ops.resize import resize_bilinear_align_corners
 __all__ = [
     "binary_uncertainty",
     "entropy_uncertainty",
+    "mc_dropout_uncertainty",
     "generate_uncertainty_map",
     "apply_uncertainty_weighted_loss",
     "classification_uncertainty_weights",
@@ -41,6 +42,45 @@ def entropy_uncertainty(probs: jax.Array, num_classes: int, axis: int = -1) -> j
     """Normalized softmax entropy H(p)/log(K) (ref: Herlev/train_herlev.py:256-257)."""
     entropy = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=axis, keepdims=True)
     return entropy / jnp.log(float(num_classes))
+
+
+def mc_dropout_uncertainty(
+    apply_fn: Callable[..., jax.Array],
+    x: jax.Array,
+    key: jax.Array,
+    num_samples: int = 8,
+    task_type: str = "segmentation",
+) -> tuple[jax.Array, jax.Array]:
+    """Monte-Carlo-dropout epistemic uncertainty (variance across stochastic
+    forward passes) — an ADDITION over the reference's fixed pointwise
+    formulas: the BASELINE.json north star names it as an alternative
+    uncertainty source for the guidance maps.
+
+    ``apply_fn(x, rngs={'dropout': k}) -> logits`` must run the model with
+    dropout ACTIVE (train-mode dropout, eval-mode BN is the standard MC
+    setup; the Herlev classifier's head has three dropout layers,
+    ref: Herlev/train_herlev.py:66-77).  Vectorized over samples with
+    ``vmap`` — one XLA program, no Python loop on the hot path.
+
+    Returns (mean_probs, variance):
+      * segmentation: sigmoid probs, per-pixel mean/variance (B, H, W, K)
+      * classification: softmax probs, per-class mean and per-sample
+        predictive variance (mean over classes), shapes (B, K) and (B,)
+    """
+    keys = jax.random.split(key, num_samples)
+
+    def one(k):
+        logits = apply_fn(x, rngs={"dropout": k})
+        if task_type == "classification":
+            return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.sigmoid(logits)
+
+    probs = jax.vmap(one)(keys)  # (S, ...)
+    mean = jnp.mean(probs, axis=0)
+    var = jnp.var(probs, axis=0)
+    if task_type == "classification":
+        var = jnp.mean(var, axis=-1)
+    return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var)
 
 
 def generate_uncertainty_map(
