@@ -149,3 +149,19 @@ def test_batching_server_close_drains(ckpt, rng):
         assert f.result(timeout=5)[1].shape == (32, 32, 1)
     with pytest.raises(RuntimeError):
         server.submit(rng.random((32, 32, 3)).astype(np.float32))
+
+
+def test_predictor_uint8_input_path(ckpt, rng):
+    """uint8-compiled predictor: raw uint8 requests match the float path
+    (device-side /255); float inputs are coerced."""
+    x8 = (rng.random((3, 32, 32, 3)) * 255).astype(np.uint8)
+    p8 = Predictor(str(ckpt), dtype=None, buckets=(4,), input_dtype=jnp.uint8)
+    pf = Predictor(str(ckpt), dtype=None, buckets=(4,))
+    got = p8(x8)[1]
+    want = pf(x8.astype(np.float32) / 255.0)[1]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # float input into the uint8 predictor round-trips through uint8
+    got2 = p8(x8.astype(np.float32) / 255.0)[1]
+    np.testing.assert_allclose(got2, want, atol=1e-2)  # uint8 quantization
+    with pytest.raises(ValueError, match="input_dtype"):
+        Predictor(str(ckpt), dtype=None, input_dtype=jnp.int16)

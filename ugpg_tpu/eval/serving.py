@@ -66,10 +66,19 @@ class Predictor:
         fold_bn: bool = True,
         task_type: str = "segmentation",
         buckets: Sequence[int] | None = None,
+        input_dtype=jnp.float32,
     ):
+        """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
+        RGB requests (scaled to [0,1] on device): 4x less host->device
+        transfer per request — the dominant serving cost over a network or
+        PCIe link.  float32 requests are converted on the host in that case.
+        """
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
         self.task_type = task_type
+        self.input_dtype = jnp.dtype(input_dtype)
+        if self.input_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.uint8)):
+            raise ValueError("input_dtype must be float32 or uint8")
         self.buckets = tuple(sorted(set(buckets or (batch_size,))))
         self.batch_size = self.buckets[-1]
         self.stage = sniff_stage(checkpoint, default=4)
@@ -131,16 +140,23 @@ class Predictor:
         self._n_outputs = n_outputs
         res = self.resolution
 
-        # AOT compile one executable per bucket: no first-request latency
+        in_dtype = self.input_dtype
+
+        def entry(variables, raw):
+            x = raw.astype(jnp.float32)
+            if in_dtype == jnp.dtype(jnp.uint8):
+                x = x / 255.0
+            x = resize_bilinear_align_corners(x, (res, res))
+            return forward(variables, x)
+
+        # AOT compile one executable per bucket (resize + scale fused in):
+        # no first-request latency
         self._compiled = {}
         for b in self.buckets:
-            shape = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
+            shape = jax.ShapeDtypeStruct((b, res, res, 3), in_dtype)
             self._compiled[b] = (
-                jax.jit(forward).lower(self.variables, shape).compile()
+                jax.jit(entry).lower(self.variables, shape).compile()
             )
-        self._resize = jax.jit(
-            lambda x: resize_bilinear_align_corners(x, (res, res))
-        )
 
     # ------------------------------------------------------------------
     def _bucket_for(self, n: int) -> int:
@@ -149,20 +165,46 @@ class Predictor:
                 return b
         return self.buckets[-1]
 
+    def _coerce(self, images: np.ndarray) -> np.ndarray:
+        """Match the compiled input signature: dtype and spatial size."""
+        images = np.asarray(images)
+        res = self.resolution
+        if self.input_dtype == jnp.dtype(jnp.uint8):
+            if images.dtype != np.uint8:
+                images = np.clip(np.asarray(images, np.float32) * 255.0,
+                                 0, 255).astype(np.uint8)
+        else:
+            if images.dtype == np.uint8:
+                images = images.astype(np.float32) / 255.0
+            else:
+                images = np.asarray(images, np.float32)
+        if images.shape[1:3] != (res, res):
+            # arbitrary request sizes: resize on host once (rare path; the
+            # compiled executables expect the model resolution)
+            x = jnp.asarray(images.astype(np.float32)
+                            if images.dtype == np.uint8 else images)
+            if images.dtype == np.uint8:
+                x = x / 255.0
+            x = resize_bilinear_align_corners(x, (res, res))
+            images = np.asarray(x)
+            if self.input_dtype == jnp.dtype(jnp.uint8):
+                images = np.clip(images * 255.0, 0, 255).astype(np.uint8)
+        return images
+
     def _run_padded(self, chunk: np.ndarray):
         n = chunk.shape[0]
         bucket = self._bucket_for(n)
         if n < bucket:
             pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
             chunk = np.concatenate([chunk, pad])
-        x = self._resize(jnp.asarray(chunk))
-        outs = self._compiled[bucket](self.variables, x)
+        outs = self._compiled[bucket](self.variables, jnp.asarray(chunk))
         return tuple(o[:n] for o in outs)
 
     def __call__(self, images: np.ndarray):
-        """images: (N, H, W, 3) float32 in [0,1]; any N.  Segmentation ->
-        numpy (preds, probs, uncertainty); classification -> (labels, probs)."""
-        images = np.asarray(images, np.float32)
+        """images: (N, H, W, 3) float32 in [0,1] or uint8 RGB; any N.
+        Segmentation -> numpy (preds, probs, uncertainty); classification ->
+        (labels, probs)."""
+        images = self._coerce(images)
         outs = [
             self._run_padded(images[s : s + self.batch_size])
             for s in range(0, len(images), self.batch_size)
@@ -181,18 +223,18 @@ class Predictor:
 
         def as_device_batches():
             for b in batches:
-                b = np.asarray(b, np.float32)
+                b = self._coerce(b)
                 n = b.shape[0]
                 if n < top:
                     b = np.concatenate(
-                        [b, np.zeros((top - n, *b.shape[1:]), np.float32)]
+                        [b, np.zeros((top - n, *b.shape[1:]), b.dtype)]
                     )
                 yield (b, n)
 
         for device_batch, n in prefetch_to_device(
             as_device_batches(), size=prefetch
         ):
-            outs = self._compiled[top](self.variables, self._resize(device_batch))
+            outs = self._compiled[top](self.variables, device_batch)
             yield tuple(np.asarray(o[: int(n)]) for o in outs)
 
 
