@@ -278,3 +278,23 @@ def test_cls_trainer_epoch_on_mesh_matches_single_device():
     np.testing.assert_allclose(results["single"][1], results["mesh"][1],
                                rtol=2e-3)  # base_loss
     assert results["single"][2] == results["mesh"][2]  # accuracy
+
+
+def test_fused_pallas_loss_under_mesh_matches_xla_loss():
+    """fused_loss=True composes with mesh= (XLA resolves the Pallas custom
+    call by replication — correct, if not data-parallel for that op)."""
+    from ugpg_tpu.data.synthetic import disk_dataset
+    from ugpg_tpu.parallel.mesh import make_mesh
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    cfgs = {1: {"resolution": 32, "epochs_per_stage": 1, "lr": 3e-4}}
+    imgs, masks = disk_dataset(num_samples=8, image_size=32, seed=1)
+    outs = {}
+    for fused in (True, False):
+        tr = UncertaintyGuidedProgressiveTrainer(
+            stage_configs=cfgs, verbose=False,
+            mesh=make_mesh(n_data=4, n_model=2), fused_loss=fused,
+        )
+        outs[fused] = tr.train_epoch([(imgs, masks)], 1)
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-5)
