@@ -74,6 +74,23 @@ def _overlap_copy(prev: jax.Array, cur: jax.Array) -> jax.Array | None:
     return None
 
 
+def _shapes_mergeable(pv, cv) -> bool:
+    """Static predicate mirroring ``_overlap_copy``'s handled cases."""
+    if pv.shape == cv.shape:
+        return True
+    if pv.ndim != cv.ndim:
+        return False
+    if pv.ndim == 4:
+        return pv.shape[:2] == cv.shape[:2]
+    return pv.ndim in (1, 2)
+
+
+@jax.jit
+def _merge_leaves(prev_leaves, cur_leaves):
+    """All slab copies fused into one XLA program (cached by shapes)."""
+    return [_overlap_copy(p, c) for p, c in zip(prev_leaves, cur_leaves)]
+
+
 def transfer_weights(
     prev_variables: Mapping[str, Any],
     cur_variables: Mapping[str, Any],
@@ -84,9 +101,14 @@ def transfer_weights(
     Returns (new_variables, copied_key_names).  Keys only in one tree are
     left untouched; shape-incompatible leaves fall back to the current
     (freshly initialized) value — matching the reference's behavior.
+
+    The whole merge executes as ONE jitted program (keyed by the two trees'
+    shapes): per-leaf eager slab copies would dispatch hundreds of small
+    device ops — painful on remote backends, free to fuse in XLA.
     """
     prev_flat = flatten_tree(prev_variables)
     cur_flat = dict(flatten_tree(cur_variables))
+    plan: list[tuple[tuple[str, ...], Any, Any]] = []
     copied: list[str] = []
     for path, pv in prev_flat.items():
         cv = cur_flat.get(path)
@@ -94,10 +116,22 @@ def transfer_weights(
             continue
         if not hasattr(pv, "shape") or not hasattr(cv, "shape"):
             continue
-        merged = _overlap_copy(jnp.asarray(pv), jnp.asarray(cv))
-        if merged is not None:
-            cur_flat[path] = merged
-            copied.append("/".join(path))
+        plan.append((path, pv, cv))
+
+    if plan:
+        # _overlap_copy returns None for unhandled rank pairs — resolve the
+        # plan on shapes first (trace-time constants), then run one program
+        mergeable = [
+            (path, pv, cv) for path, pv, cv in plan if _shapes_mergeable(pv, cv)
+        ]
+        if mergeable:
+            merged = _merge_leaves(
+                [jnp.asarray(pv) for _, pv, _ in mergeable],
+                [jnp.asarray(cv) for _, _, cv in mergeable],
+            )
+            for (path, _, _), m in zip(mergeable, merged):
+                cur_flat[path] = m
+                copied.append("/".join(path))
     if verbose:
         print(
             f"transfer_weights: copied {len(copied)} keys "

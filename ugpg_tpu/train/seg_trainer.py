@@ -268,10 +268,10 @@ class UncertaintyGuidedProgressiveTrainer:
     def _average(acc: list[dict]) -> tuple[float, ...]:
         if not acc:
             return (0.0,) * len(_METRIC_KEYS)
-        stacked = {
-            k: float(np.mean([float(m[k]) for m in acc])) for k in _METRIC_KEYS
-        }
-        return tuple(stacked[k] for k in _METRIC_KEYS)
+        host = jax.device_get(acc)  # ONE fetch for the whole epoch
+        return tuple(
+            float(np.mean([float(m[k]) for m in host])) for k in _METRIC_KEYS
+        )
 
     # ------------------------------------------------------------------
     def train_progressive(

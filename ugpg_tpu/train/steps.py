@@ -62,10 +62,13 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, variables: Mapping[str, Any], tx: optax.GradientTransformation):
+        # jit the optimizer init: eager per-leaf zeros_like would dispatch
+        # one device op per parameter (hundreds of round trips on a remote
+        # backend); one compiled call materializes the whole state
         return cls(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
+            opt_state=jax.jit(tx.init)(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
 
