@@ -16,12 +16,17 @@ numbers; BASELINE.md).
 
 Timing methodology (chained barrier): each timed call consumes the previous
 call's result (inference chains a checksum into the next input; train steps
-chain the TrainState), so the device MUST execute every step sequentially —
-remote execution caching cannot elide work and reordering is impossible.
-One host fetch of the final chained scalar closes the sequence.  This
-measures true device throughput; a per-call host fetch would additionally
-charge one tunnel round trip per batch (~25% slower through the axon
-tunnel; both numbers are reported by tools/profile_tpu.py).
+chain the TrainState) AND folds a unique per-iteration constant into the
+input, so (a) calls are sequentially dependent — reordering is impossible —
+and (b) every call's inputs are bit-distinct, so remote execution caching
+cannot serve repeats (the chained checksum alone would be numerically inert:
+sum(unc)*1e-38 is below one ulp of [0,1) pixels and reaches a fixed point
+after one step).  Inference forwards return the full output maps plus the
+checksum so XLA cannot dead-code-eliminate the thresholding/uncertainty
+writes — the timed work is exactly what serving must produce.  One host
+fetch of the final chained scalar closes the sequence; a per-call host fetch
+would additionally charge one tunnel round trip per batch (that
+latency-style number is reported by tools/serving_latency.py).
 """
 
 from __future__ import annotations
@@ -79,14 +84,18 @@ def bench_config2(jnp, jax):
     )
 
     @jax.jit
-    def forward(v, x, s):
-        x = x + s * 1e-20  # chain: depends on the previous call's checksum
+    def forward(v, x, s, i):
+        # i: unique per call (defeats remote execution caching);
+        # s: previous call's checksum (forces sequential execution);
+        # s*1e-38 is numerically inert but not DCE-able (runtime input).
+        x = x + i * 1e-6 + s * 1e-38
         logits = module.apply(v, x, False)
         probs = jax.nn.sigmoid(logits)
         preds = (probs > 0.5).astype(jnp.bfloat16)
-        del preds
         unc = binary_uncertainty(probs)
-        return jnp.sum(unc)
+        # return the full maps: the executable must materialize exactly what
+        # serving emits (no dead-code elimination of preds/probs/unc)
+        return preds, probs, unc, jnp.sum(unc)
 
     rng = np.random.default_rng(0)
     cache = {}
@@ -97,8 +106,8 @@ def bench_config2(jnp, jax):
                 rng.random((batch, 256, 256, 3), dtype=np.float32)
             )
         s = jnp.float32(1.0)
-        for _ in range(iters):
-            s = forward(variables, cache[batch], s)
+        for k in range(iters):
+            s = forward(variables, cache[batch], s, jnp.float32(k))[3]
         float(s)
 
     rate, batch = _best_rate(run_chain, (64, 128))
@@ -130,8 +139,10 @@ def bench_config1(jnp, jax):
                 jnp.asarray((rng.random((batch, 32, 32, 1)) > 0.7).astype(np.float32)),
             )
         x, y = cache[batch]
-        state = TrainState.create(variables, tx)  # params chain through steps
+        state = TrainState.create(variables, tx)
         m = None
+        # params chain step to step (real dependency + unique inputs: the
+        # state changes every iteration, so caching cannot elide work)
         for k in range(iters):
             state, m = step(state, {}, (x, y), pw, jax.random.key(k))
         float(m["final_loss"])
@@ -154,10 +165,11 @@ def bench_config3(jnp, jax):
     )
 
     @jax.jit
-    def forward(v, x, s):
-        logits = module.apply(v, x + s * 1e-20, False)
+    def forward(v, x, s, i):
+        # see bench_config2: i defeats caching, s forces sequencing
+        logits = module.apply(v, x + i * 1e-6 + s * 1e-38, False)
         probs = jax.nn.softmax(logits, axis=-1)
-        return jnp.sum(probs)
+        return probs, jnp.sum(probs)
 
     rng = np.random.default_rng(0)
     cache = {}
@@ -168,8 +180,8 @@ def bench_config3(jnp, jax):
                 rng.random((batch, 224, 224, 3), dtype=np.float32)
             )
         s = jnp.float32(1.0)
-        for _ in range(iters):
-            s = forward(variables, cache[batch], s)
+        for k in range(iters):
+            s = forward(variables, cache[batch], s, jnp.float32(k))[1]
         float(s)
 
     rate, batch = _best_rate(run_chain, (16, 256))

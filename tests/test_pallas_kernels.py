@@ -60,13 +60,15 @@ def test_fused_loss_odd_size_masking(rng):
     np.testing.assert_allclose(float(base), float(want_base), rtol=1e-5)
 
 
-def test_fused_loss_int32_mask_at_2pow24(rng):
-    """Regression: n = 2^24 exactly (the flagship batch-256 @ 256px element
-    count).  With the old f32 flat-index compare, index 2^24-1 rounded up to
-    2^24 and the final valid element was silently dropped; the int32 compare
-    must include it."""
-    n = 1 << 24
-    shape = (256, 256, 256, 1)
+def test_fused_loss_int32_mask_beyond_2pow24(rng):
+    """Regression: n = 2^24 + 8.  f32 cannot represent odd integers above
+    2^24, so the old f32 flat-index compare (idx < f32(n)) mis-masked
+    boundary elements for any n > 2^24 (f32(2^24+1) rounds DOWN to 2^24,
+    silently dropping valid elements from loss and gradient) — one element
+    past the flagship batch-256 @ 256px config.  The int32 compare must be
+    exact at any size."""
+    n = (1 << 24) + 8
+    shape = (8, 2097153, 1, 1)  # 8 * (2^21 + 1) = 2^24 + 8
     assert int(np.prod(shape)) == n
     rs = np.random.default_rng(7)
     x = rs.standard_normal(shape).astype(np.float32)

@@ -165,3 +165,34 @@ def test_predictor_uint8_input_path(ckpt, rng):
     np.testing.assert_allclose(got2, want, atol=1e-2)  # uint8 quantization
     with pytest.raises(ValueError, match="input_dtype"):
         Predictor(str(ckpt), dtype=None, input_dtype=jnp.int16)
+
+
+def test_batching_server_mixed_shapes_and_dtypes(ckpt, rng):
+    """Mixed request sizes/dtypes must coalesce (coerced per image), not
+    kill the worker and strand futures."""
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    p = Predictor(str(ckpt), dtype=None, buckets=(4,))
+    server = BatchingServer(p, max_latency_ms=100.0)
+    futs = [
+        server.submit(rng.random((32, 32, 3)).astype(np.float32)),
+        server.submit((rng.random((48, 40, 3)) * 255).astype(np.uint8)),
+        server.submit(rng.random((20, 20, 3)).astype(np.float32)),
+    ]
+    for f in futs:
+        out = f.result(timeout=60)
+        assert out[0].shape == (32, 32, 1)
+    server.close()
+
+
+def test_batching_server_bad_request_resolves_future(ckpt, rng):
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    p = Predictor(str(ckpt), dtype=None, buckets=(4,))
+    server = BatchingServer(p, max_latency_ms=50.0)
+    with pytest.raises(ValueError, match="expected one"):
+        server.submit(rng.random((4, 32, 32, 3)))  # batch, not one image
+    # a good request afterwards still works
+    out = server.submit(rng.random((32, 32, 3)).astype(np.float32)).result(30)
+    assert out[0].shape == (32, 32, 1)
+    server.close()

@@ -89,3 +89,22 @@ def test_trainer_writes_training_log(tmp_path):
     assert len(rows) == 2
     assert rows[0]["stage"] == "1" and float(rows[0]["lr"]) == pytest.approx(3e-4)
     assert float(rows[1]["train_dice"]) > 0
+
+
+def test_prefetch_propagates_producer_errors():
+    """An exception in the prefetch put/transfer must surface in the
+    consumer, not silently truncate the epoch."""
+    import pytest
+
+    from ugpg_tpu.data.loader import prefetch_to_device
+
+    def bad_put(batch):
+        if batch == 2:
+            raise RuntimeError("shard failed")
+        return batch
+
+    got = []
+    with pytest.raises(RuntimeError, match="shard failed"):
+        for item in prefetch_to_device(iter([0, 1, 2, 3]), put=bad_put):
+            got.append(item)
+    assert got == [0, 1]

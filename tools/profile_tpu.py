@@ -84,40 +84,44 @@ def main():
     )
 
     @jax.jit
-    def forward(v, x, s):
-        x = x + s * 1e-20  # chain: depends on previous call's checksum
+    def forward(v, x, s, i):
+        # i: unique per call (defeats remote execution caching); s: chained
+        # checksum (forces sequencing; 1e-38 contribution is inert but a
+        # runtime input, so not DCE-able); full maps returned so the
+        # executable materializes what serving emits.
+        x = x + i * 1e-6 + s * 1e-38
         logits = module.apply(v, x, False)
         probs = jax.nn.sigmoid(logits)
+        preds = (probs > 0.5).astype(jnp.bfloat16)
         unc = binary_uncertainty(probs)
-        return jnp.sum(unc)
+        return preds, probs, unc, jnp.sum(unc)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((args.batch, 256, 256, 3), dtype=np.float32))
 
-    s = forward(variables, x, jnp.float32(0))  # compile
+    s = forward(variables, x, jnp.float32(0), jnp.float32(0))[3]  # compile
     float(s)
 
-    # chained timing: one barrier for the whole sequence
+    # chained timing: one barrier for the whole sequence, unique input per call
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        s = forward(variables, x, s)
+    for k in range(args.iters):
+        s = forward(variables, x, s, jnp.float32(k + 1))[3]
     float(s)
     dt = time.perf_counter() - t0
     rate_chained = args.batch * args.iters / dt
 
-    # per-call barrier (the conservative bench.py methodology) for contrast
+    # per-call barrier (latency-style) for contrast
     times = []
     for k in range(6):
         t0 = time.perf_counter()
-        float(forward(variables, x, jnp.float32(k + 2)))
+        float(forward(variables, x, jnp.float32(0), jnp.float32(100 + k))[3])
         times.append(time.perf_counter() - t0)
     rate_barrier = args.batch / float(np.median(times))
 
     if not args.no_trace:
         with jax.profiler.trace(args.out):
-            s = forward(variables, x, jnp.float32(99))
-            for _ in range(3):
-                s = forward(variables, x, s)
+            for k in range(4):
+                s = forward(variables, x, s, jnp.float32(200 + k))[3]
             float(s)
 
     gflops = pgunet4_fwd_gflops_per_img()

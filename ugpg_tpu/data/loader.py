@@ -103,12 +103,18 @@ def prefetch_to_device(iterator, size: int = 2, device=None, put=None):
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
 
+    class _PrefetchError:
+        def __init__(self, exc):
+            self.exc = exc
+
     def producer():
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
-            q.put(_SENTINEL)
+        except BaseException as exc:  # propagate: a swallowed transfer/shard
+            q.put(_PrefetchError(exc))  # error would silently truncate the
+            return                      # consumer's epoch
+        q.put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -116,4 +122,6 @@ def prefetch_to_device(iterator, size: int = 2, device=None, put=None):
         item = q.get()
         if item is _SENTINEL:
             break
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         yield item

@@ -253,21 +253,30 @@ class BatchingServer:
         self.max_latency_s = max_latency_ms / 1e3
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def submit(self, image: np.ndarray) -> Future:
-        """image: (H, W, 3) float32 in [0,1]."""
-        if self._closed:
-            raise RuntimeError("server is closed")
+        """image: (H, W, 3) float32 in [0,1] or uint8 RGB."""
+        image = np.asarray(image)
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected one (H, W, 3) image, got {image.shape}")
         fut: Future = Future()
-        self._q.put((np.asarray(image, np.float32), fut))
+        # lock orders the closed-check and the enqueue against close():
+        # without it a submit could land behind the shutdown sentinel and
+        # its future would never resolve
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put((image, fut))
         return fut
 
     def close(self):
         """Drain outstanding requests, then stop the worker."""
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
         # resolve any request that raced the shutdown sentinel
         while True:
@@ -313,9 +322,17 @@ class BatchingServer:
         while True:
             items, stop = self._collect()
             if items:
-                images = np.stack([im for im, _ in items])
                 try:
-                    outs = self.predictor(images)
+                    # coerce each image to the compiled signature (dtype +
+                    # model resolution) BEFORE stacking: mixed request
+                    # sizes/dtypes batch fine, and any bad request resolves
+                    # the group's futures with the error instead of killing
+                    # the worker (everything runs inside the try)
+                    coerced = np.stack([
+                        self.predictor._coerce(np.asarray(im)[None])[0]
+                        for im, _ in items
+                    ])
+                    outs = self.predictor(coerced)
                     for i, (_, fut) in enumerate(items):
                         fut.set_result(tuple(o[i] for o in outs))
                 except Exception as exc:  # resolve futures, don't kill worker

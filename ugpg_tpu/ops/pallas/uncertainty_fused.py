@@ -102,8 +102,10 @@ def _loss_fwd_kernel(scal_ref, n_ref, x_ref, z_ref, p_ref, wsum_ref, bsum_ref):
 
     # mask the padded tail by global flat index, compared entirely in int32
     # (n_valid arrives via a dedicated int32 scalar prefetch: an f32 compare
-    # would silently mis-mask boundary elements for n >= 2^24, which the
-    # flagship batch-256 @ 256px config hits exactly).
+    # is only exact for n <= 2^24 — the first silent mis-mask is at
+    # n = 2^24 + 1, one element past the flagship batch-256 @ 256px config —
+    # so any larger batch or multi-class run would drop valid boundary
+    # elements from the loss and gradient).
     base = i * (_BLOCK_ROWS * _LANES)
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)

@@ -8,23 +8,22 @@ The reference resizes with ``torch.nn.functional.interpolate`` everywhere:
 * ``nearest`` for segmentation masks
   (ref: uncertainty_guided_trainer.py:209,282,500)
 
-``jax.image.resize`` implements neither convention, so we implement the
-exact two-tap separable interpolation directly.
+``jax.image.resize`` implements neither convention, so we build the exact
+two-tap separable interpolation as small dense matrices (one per spatial
+axis) applied via ``einsum``: both contractions tile onto the MXU and the
+matrices are trace-time constants.
 
-Forward: per spatial axis, a constant-index two-tap gather + f32 lerp
-(pure VPU work).  The earlier formulation — dense interpolation matrices
-applied via ``einsum`` — tiled onto the MXU but forced XLA to materialize
-layout-transposed copies of the full activation around each spatial-axis
-``dot_general`` (measured on v5e: a 537 MB ``copy`` per up4 upsample at
-batch 128, ~12% of flagship step time in pure copies).  The gather+lerp
-form keeps NHWC layout end to end and fuses into neighboring elementwise
-work.
+This formulation is the measured winner on v5e (see
+``_resize_bilinear_fwd``): a layout-preserving two-tap gather+lerp variant
+ran 41% slower (constant-index spatial gathers are scalar-bound on TPU),
+even though the einsums cost some XLA layout copies around the
+spatial-axis ``dot_general``s (~9 ms/step at flagship shapes; recorded in
+BASELINE.md).
 
-Backward: the VJP applies the exact transpose of the interpolation matrix
-as einsum matmuls (MXU) via ``jax.custom_vjp`` — autodiff of the gather
-would emit a colliding scatter-add, which TPUs handle poorly.  The two
-formulations are transposes of the same linear map, so gradients equal the
-einsum version's bit-for-bit-ish (f32 accumulation both ways).
+The backward is pinned via ``jax.custom_vjp`` to the exact-transpose
+einsum matmuls, so no future forward rewrite can accidentally hand
+autodiff a formulation whose transpose is a colliding scatter-add (which
+TPUs handle poorly).
 
 All public functions take NHWC arrays (TPU-native layout).
 """
@@ -72,22 +71,6 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     scale = in_size / out_size
     idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
     return np.clip(idx, 0, in_size - 1)
-
-
-@functools.lru_cache(maxsize=None)
-def _bilinear_taps(in_size: int, out_size: int):
-    """(lo, hi, frac) two-tap sampling arrays for align_corners=True.
-
-    Equivalent to the rows of ``_bilinear_ac_matrix`` (each row has weights
-    ``1-frac`` at ``lo`` and ``frac`` at ``hi``)."""
-    if out_size == 1 or in_size == 1:
-        lo = np.zeros(out_size, np.int32)
-        return lo, lo, np.zeros(out_size, np.float32)
-    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
-    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
-    hi = np.minimum(lo + 1, in_size - 1)
-    frac = (src - lo).astype(np.float32)
-    return lo.astype(np.int32), hi.astype(np.int32), frac
 
 
 def _resize_bilinear_fwd(x: jax.Array, size: tuple[int, int]) -> jax.Array:
@@ -162,8 +145,8 @@ _resize_core.defvjp(_resize_vjp_fwd, _resize_vjp_bwd)
 def resize_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Bilinear resize of NHWC ``x`` to (H', W'), torch align_corners=True.
 
-    Forward: two-tap gather + f32 lerp per axis (layout-preserving, VPU).
-    Backward: exact-transpose einsum matmuls (MXU) — see module docstring.
+    Forward: separable interpolation-matrix einsums (MXU).
+    Backward: exact-transpose einsum matmuls — see module docstring.
     """
     return _resize_core(
         x, tuple(size), (x.shape[1], x.shape[2]), jnp.dtype(x.dtype).name

@@ -439,13 +439,26 @@ class UncertaintyGuidedProgressiveTrainer:
         return last_stage, int(meta.get("epoch", -1))
 
     def _restore_last(self, save_path: Path, stage: int):
-        """Restore variables + optimizer state + history for mid-stage resume."""
+        """Restore variables + optimizer state + history for mid-stage resume.
+
+        Under a mesh, restored host arrays are re-laid-out to the sharded
+        state's layout — otherwise a resumed run would silently continue
+        replicated/single-device."""
         ckpt = save_path / f"ug_pgunet_stage{stage}_last"
         variables, opt_state, meta = load_checkpoint(
             ckpt,
             variables_template=self._ensure_variables(stage),
             opt_state_template=self._state.opt_state,
         )
+        variables = self._shard(variables)
+        if opt_state is not None and self.mesh is not None:
+            # match each restored leaf to the freshly-created (sharded) opt
+            # state's placement
+            opt_state = jax.tree.map(
+                lambda tgt, val: jax.device_put(val, tgt.sharding)
+                if hasattr(tgt, "sharding") else val,
+                self._state.opt_state, opt_state,
+            )
         self.variables[stage] = variables
         self._state = self._state.replace(
             params=variables["params"],
@@ -462,7 +475,7 @@ class UncertaintyGuidedProgressiveTrainer:
         """Load variables for one stage from a checkpoint dir (ref: :469-473)."""
         template = self._ensure_variables(stage)
         variables, _, _ = load_checkpoint(checkpoint_path, variables_template=template)
-        self.variables[stage] = variables
+        self.variables[stage] = self._shard(variables)
         self._print(f"Loaded weights for stage {stage} from {checkpoint_path}")
 
     def save_uncertainty_analysis(self, data_loader: Iterable, stage: int, save_path):
