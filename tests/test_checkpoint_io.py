@@ -181,3 +181,30 @@ def test_trainer_orbax_backend_end_to_end(tmp_path):
         stage_configs=cfgs, verbose=False
     )
     tr2.load_stage_weights(1, best)
+
+
+def test_orbax_async_backend_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ugpg_tpu.io.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_async_saves,
+    )
+    from ugpg_tpu.models.pgunet import PGUNet1
+
+    module = PGUNet1(num_classes=1)
+    v = module.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)), False)
+    path = save_checkpoint(tmp_path / "async1", v, metadata={"stage": 1},
+                           backend="orbax-async")
+    # overwrite while a save may be in flight (waits internally)
+    save_checkpoint(path, v, metadata={"stage": 1}, backend="orbax-async")
+    wait_for_async_saves()
+    rv, _, meta = load_checkpoint(path, variables_template=v)
+    assert meta["stage"] == 1
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(rv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # load_checkpoint waits on in-flight saves by itself
+    save_checkpoint(tmp_path / "async2", v, metadata={"stage": 1},
+                    backend="orbax-async")
+    rv2, _, _ = load_checkpoint(tmp_path / "async2", variables_template=v)
+    assert jax.tree.structure(rv2) == jax.tree.structure(v)

@@ -20,6 +20,11 @@ Two storage backends share that directory layout and metadata schema:
   JAX checkpoint library: sharded-array aware, atomic finalization).  The
   loader auto-detects whichever backend wrote the directory, so trainers,
   evaluators, and the serving Predictor read either transparently.
+* ``backend="orbax-async"``: same storage, saved by a background
+  ``AsyncCheckpointer`` — the train loop continues while the previous
+  checkpoint flushes (call ``wait_for_async_saves()`` before reading a
+  just-written checkpoint or exiting; ``load_checkpoint`` does it
+  automatically).
 """
 
 from __future__ import annotations
@@ -35,16 +40,33 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "sniff_stage",
-           "latest_checkpoint", "has_checkpoint"]
+           "latest_checkpoint", "has_checkpoint", "wait_for_async_saves"]
 
 _ORBAX_VARS = "variables_orbax"
 _ORBAX_OPT = "opt_state_orbax"
+
+_ASYNC_CKPTR = None
 
 
 def _orbax_checkpointer():
     import orbax.checkpoint as ocp
 
     return ocp.PyTreeCheckpointer()
+
+
+def _orbax_async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until all in-flight orbax-async checkpoint writes finalize."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def has_checkpoint(path: str | os.PathLike) -> bool:
@@ -66,10 +88,17 @@ def _to_py(obj):
     return obj
 
 
-def _orbax_save(target: Path, tree) -> None:
+def _orbax_save(target: Path, tree, async_save: bool = False) -> None:
+    if async_save:
+        # the previous write to this (or any) target must finalize before
+        # we delete/replace the directory
+        wait_for_async_saves()
     if target.exists():
         shutil.rmtree(target)  # overwrite semantics matching the msgpack path
-    _orbax_checkpointer().save(target.resolve(), tree)
+    if async_save:
+        _orbax_async_checkpointer().save(target.resolve(), tree)
+    else:
+        _orbax_checkpointer().save(target.resolve(), tree)
 
 
 def save_checkpoint(
@@ -80,17 +109,19 @@ def save_checkpoint(
     backend: str = "msgpack",
 ) -> Path:
     """Write a checkpoint directory; returns its path."""
-    if backend not in ("msgpack", "orbax"):
+    if backend not in ("msgpack", "orbax", "orbax-async"):
         raise ValueError(f"unknown checkpoint backend: {backend!r}")
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_vars = jax.device_get(variables)
-    if backend == "orbax":
-        _orbax_save(path / _ORBAX_VARS, host_vars)
+    if backend.startswith("orbax"):
+        async_save = backend == "orbax-async"
+        _orbax_save(path / _ORBAX_VARS, host_vars, async_save)
         if opt_state is not None:
             _orbax_save(
                 path / _ORBAX_OPT,
                 jax.device_get(serialization.to_state_dict(opt_state)),
+                async_save,
             )
     else:
         (path / "variables.msgpack").write_bytes(serialization.to_bytes(host_vars))
@@ -113,6 +144,7 @@ def load_checkpoint(
     structure/dtypes; without, returns raw nested dicts of numpy arrays.
     """
     path = Path(path)
+    wait_for_async_saves()  # a just-written async checkpoint must be complete
     if (path / _ORBAX_VARS).exists():
         restored = _orbax_checkpointer().restore((path / _ORBAX_VARS).resolve())
         if variables_template is not None:

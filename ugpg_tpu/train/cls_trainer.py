@@ -419,6 +419,9 @@ class HerlevTrainer:
             )
             self._print(f"Stage {stage} completed. Best Val Acc: {best_val_acc:.2f}%")
 
+        from ugpg_tpu.io.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()  # durable checkpoints before returning
         hist_path = os.path.join(save_dir, "training_history.json")
         with open(hist_path, "w") as f:
             json.dump(self.history, f, indent=2)

@@ -410,6 +410,9 @@ class UncertaintyGuidedProgressiveTrainer:
                         },
                         backend=self.checkpoint_backend,
                     )
+        from ugpg_tpu.io.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()  # durable checkpoints before returning
         self._print("Uncertainty-guided progressive training completed!")
         self.save_training_plots(save_path)
         return self.history
