@@ -34,6 +34,9 @@ class SegTrainConfig:
     bf16: bool = False
     fused_loss: bool = False
     seed: int = 0
+    # distribution + checkpoint backend (round-2 surface)
+    mesh: str | None = None  # "DATA,MODEL" or "auto"; None = single device
+    checkpoint_backend: str = "msgpack"  # msgpack | orbax | orbax-async
 
     def stage_configs(self) -> dict[int, dict]:
         res = {1: 32, 2: 64, 3: 128, 4: 256}
@@ -67,6 +70,8 @@ class HerlevTrainConfig:
     augment: bool = True
     bf16: bool = False
     seed: int = 0
+    mesh: str | None = None
+    checkpoint_backend: str = "msgpack"
     class_weights: list[float] | None = None
     split_ratios: dict[str, float] = field(
         default_factory=lambda: {"train": 0.7, "val": 0.2, "test": 0.1}
