@@ -60,3 +60,78 @@ def test_batch_parallel_matches_single(rng):
 def test_empty_polygons():
     assert rasterize_polygons_native([], (16, 16)).sum() == 0
     assert rasterize_batch_native([[], []], (16, 16)).sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# native PNG decoder
+# ---------------------------------------------------------------------------
+
+
+def test_png_decode_bit_exact_vs_pil():
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_png_native, png_available
+
+    if not png_available():
+        import pytest
+
+        pytest.skip("no compiler/zlib for the native decoder")
+    g = np.random.default_rng(0)
+    for shape in ((64, 64, 3), (100, 37, 3), (1, 1, 3), (256, 255, 3)):
+        img = (g.random(shape) * 255).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="PNG")
+        got = decode_png_native(b.getvalue())
+        assert got is not None
+        np.testing.assert_array_equal(got, img)
+    # gradient images exercise Sub/Up/Average/Paeth row filters
+    yy, xx = np.mgrid[0:128, 0:128]
+    grad = np.stack([yy, xx, (yy + xx) // 2], -1).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(grad).save(b, format="PNG")
+    np.testing.assert_array_equal(decode_png_native(b.getvalue()), grad)
+
+
+def test_png_decode_unsupported_profiles_return_none(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_png_native, png_available
+
+    if not png_available():
+        import pytest
+
+        pytest.skip("no compiler/zlib for the native decoder")
+    g = np.random.default_rng(1)
+    # grayscale (color type 0) and RGBA (6): outside the profile
+    for mode, shape in (("L", (16, 16)), ("RGBA", (16, 16, 4))):
+        img = (g.random(shape) * 255).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img, mode=mode).save(b, format="PNG")
+        assert decode_png_native(b.getvalue()) is None
+    # garbage bytes
+    assert decode_png_native(b"not a png at all") is None
+
+
+def test_dataset_png_path_uses_native_decoder(tmp_path):
+    """AugMoNuSeg-style PNG samples decode identically through the dataset."""
+    from PIL import Image
+
+    from tests.test_data_monuseg import SQUARE, make_xml
+    from ugpg_tpu.data.monuseg import MoNuSegDataset
+
+    g = np.random.default_rng(2)
+    root = tmp_path / "M"
+    (root / "train" / "images").mkdir(parents=True)
+    (root / "train" / "annots").mkdir(parents=True)
+    img = (g.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "train" / "images" / "a.png")
+    (root / "train" / "annots" / "a.xml").write_text(make_xml([SQUARE]))
+    ds = MoNuSegDataset(str(root), image_size=64, split="train", augment=False)
+    raw_img, mask = ds.load_raw(0)
+    np.testing.assert_array_equal(raw_img, img)
+    x, y = ds[0]
+    assert x.shape == (64, 64, 3) and 0.0 <= x.min() and x.max() <= 1.0

@@ -30,6 +30,26 @@ import numpy as np
 
 from ugpg_tpu.data.rasterize import annotation_info, parse_polygons, rasterize_polygons
 
+
+def _load_rgb(img_path: str) -> "np.ndarray":
+    """Decode an image to (H, W, 3) uint8.
+
+    PNGs (the aug-patch format) go through the native C++ decoder when
+    available — the per-sample decode is the host-side hot path of aug
+    training, and ctypes releases the GIL so the threaded DataLoader decodes
+    in true parallel.  Everything else (and unsupported PNG profiles) uses
+    PIL."""
+    if str(img_path).lower().endswith(".png"):
+        try:
+            from ugpg_tpu.native import decode_png_native
+
+            arr = decode_png_native(img_path)
+            if arr is not None:
+                return arr
+        except Exception:
+            pass  # fall through to PIL
+    return np.asarray(Image.open(img_path).convert("RGB"))
+
 __all__ = ["MoNuSegDataset", "AugMoNuSegDataset", "create_train_val_split"]
 
 try:
@@ -106,15 +126,16 @@ class MoNuSegDataset:
     def load_raw(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         """Full-resolution (image uint8 HWC, mask uint8 HW)."""
         img_path, annot_path = self.samples[idx]
-        image = Image.open(img_path).convert("RGB")
-        w, h = image.size
+        img_np = _load_rgb(img_path)
+        h, w = img_np.shape[:2]
         mask = rasterize_polygons(parse_polygons(annot_path), (h, w))
-        return np.asarray(image), mask
+        return img_np, mask
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         img_path, annot_path = self.samples[idx]
-        image = Image.open(img_path).convert("RGB")
-        w, h = image.size
+        raw = _load_rgb(img_path)
+        image = Image.fromarray(raw)  # no decode cost; PIL used for resize
+        h, w = raw.shape[:2]
         mask = rasterize_polygons(parse_polygons(annot_path), (h, w))
         if self.transform:
             img_np = _resize_pil(image, self.image_size, nearest=False)

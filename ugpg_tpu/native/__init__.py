@@ -1,8 +1,15 @@
 """ctypes bindings for the native (C++) preprocessing kernels.
 
-Builds ``librasterize.so`` on first use (g++ -O3, cached next to the
-source); all entry points degrade gracefully to the Python implementations
-in ``ugpg_tpu.data.rasterize`` when no compiler is available.
+Two components, each built on first use (g++ -O3, cached next to the
+source) and degrading gracefully to the Python/PIL implementations when no
+compiler is available:
+
+* ``librasterize.so`` — even-odd scanline polygon rasterization (the
+  XML-annotation -> mask hot path; see ``rasterize.cpp``).
+* ``libpngdec.so`` — 8-bit RGB PNG decode (the aug-patch dataset's
+  per-sample decode hot path; see ``png_decode.cpp``).  ctypes releases
+  the GIL during the call, so the threaded DataLoader decodes batches in
+  true parallel.
 """
 
 from __future__ import annotations
@@ -15,7 +22,13 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "rasterize_polygons_native", "rasterize_batch_native"]
+__all__ = [
+    "available",
+    "rasterize_polygons_native",
+    "rasterize_batch_native",
+    "png_available",
+    "decode_png_native",
+]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "rasterize.cpp"
@@ -127,3 +140,88 @@ def rasterize_batch_native(per_image_polygons, image_hw, n_threads: int = 0):
         n_threads,
     )
     return masks
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder (libpngdec.so)
+# ---------------------------------------------------------------------------
+
+_PNG_SRC = _HERE / "png_decode.cpp"
+_PNG_LIB = _HERE / "libpngdec.so"
+_png_lib = None
+_png_tried = False
+
+
+def _png_build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", str(_PNG_LIB), str(_PNG_SRC), "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover - compiler/zlib missing
+        print(f"native png decoder build failed ({e}); using PIL fallback")
+        return False
+
+
+def _png_load():
+    global _png_lib, _png_tried
+    with _lock:
+        if _png_lib is not None or _png_tried:
+            return _png_lib
+        _png_tried = True
+        if not _PNG_LIB.exists() or _PNG_LIB.stat().st_mtime < _PNG_SRC.stat().st_mtime:
+            if not _png_build():
+                return None
+        lib = ctypes.CDLL(str(_PNG_LIB))
+        lib.png_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.png_info.restype = ctypes.c_int
+        lib.png_decode_rgb8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.png_decode_rgb8.restype = ctypes.c_int
+        _png_lib = lib
+        return _png_lib
+
+
+def png_available() -> bool:
+    return _png_load() is not None
+
+
+def decode_png_native(source) -> np.ndarray | None:
+    """Decode an 8-bit RGB non-interlaced PNG -> (H, W, 3) uint8.
+
+    ``source``: a path or a bytes object.  Returns None when the file uses
+    a PNG feature outside the supported profile (callers fall back to PIL)
+    and raises only on I/O errors.
+    """
+    lib = _png_load()
+    if lib is None:
+        return None
+    if isinstance(source, (str, os.PathLike)):
+        data = Path(source).read_bytes()
+    else:
+        data = bytes(source)
+    buf = np.frombuffer(data, np.uint8)
+    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    ctype = ctypes.c_int()
+    depth = ctypes.c_int()
+    if lib.png_info(ptr, len(data), ctypes.byref(h), ctypes.byref(w),
+                    ctypes.byref(ctype), ctypes.byref(depth)) != 0:
+        return None
+    if ctype.value != 2 or depth.value != 8:
+        return None  # outside the supported profile
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.png_decode_rgb8(
+        ptr, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+    )
+    return out if rc == 0 else None
