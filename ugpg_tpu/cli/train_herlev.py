@@ -24,6 +24,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None, metavar="DATA,MODEL",
                    help="shard over a (data, model) device mesh "
                         "(e.g. '4,2'; 'auto' = all devices data-parallel)")
+    p.add_argument("--checkpoint_backend", default="msgpack",
+                   choices=["msgpack", "orbax", "orbax-async"])
     return p
 
 
@@ -91,7 +93,8 @@ def main(argv=None):
     from ugpg_tpu.cli.train_monuseg import parse_mesh
 
     trainer = HerlevTrainer(config, dtype=jnp.bfloat16 if args.bf16 else None,
-                            mesh=parse_mesh(args.mesh))
+                            mesh=parse_mesh(args.mesh),
+                            checkpoint_backend=args.checkpoint_backend)
     try:
         trainer.train_progressive(train_loaders, val_loaders, config["output_dir"])
         cfg_path = os.path.join(config["output_dir"], "config.json")

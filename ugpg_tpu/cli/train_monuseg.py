@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shard over a (data, model) device mesh, e.g. "
                         "'4,2' for 4-way data x 2-way tensor parallel; "
                         "'auto' = all devices data-parallel")
+    p.add_argument("--checkpoint_backend", default="msgpack",
+                   choices=["msgpack", "orbax", "orbax-async"],
+                   help="checkpoint storage backend (orbax-async saves "
+                        "without blocking the train loop)")
     return p
 
 
@@ -100,6 +104,7 @@ def main(argv=None):
     trainer = AugMoNuSegTrainer(
         config, dtype=jnp.bfloat16 if args.bf16 else None,
         mesh=parse_mesh(args.mesh),
+        checkpoint_backend=args.checkpoint_backend,
     )
 
     if args.plain:
@@ -128,13 +133,13 @@ def main(argv=None):
     if config["resume"]:
         # stage-granularity resume for runs that only have _best checkpoints;
         # mid-stage resume (from _last) is handled inside train_progressive.
+        from ugpg_tpu.io.checkpoint import has_checkpoint
+
         out = Path(config["output_dir"])
         for stage in list(stages):
             best = out / f"ug_pgunet_stage{stage}_best"
             last = out / f"ug_pgunet_stage{stage}_last"
-            if (best / "variables.msgpack").exists() and not (
-                last / "variables.msgpack"
-            ).exists():
+            if has_checkpoint(best) and not has_checkpoint(last):
                 trainer.load_stage_weights(stage, best)
                 stages.remove(stage)
                 print(f"Resume: stage {stage} restored from {best}")

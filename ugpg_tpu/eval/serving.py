@@ -322,21 +322,24 @@ class BatchingServer:
         while True:
             items, stop = self._collect()
             if items:
-                try:
-                    # coerce each image to the compiled signature (dtype +
-                    # model resolution) BEFORE stacking: mixed request
-                    # sizes/dtypes batch fine, and any bad request resolves
-                    # the group's futures with the error instead of killing
-                    # the worker (everything runs inside the try)
-                    coerced = np.stack([
-                        self.predictor._coerce(np.asarray(im)[None])[0]
-                        for im, _ in items
-                    ])
-                    outs = self.predictor(coerced)
-                    for i, (_, fut) in enumerate(items):
-                        fut.set_result(tuple(o[i] for o in outs))
-                except Exception as exc:  # resolve futures, don't kill worker
-                    for _, fut in items:
+                # coerce per item so one malformed request fails only ITS
+                # future (and never the worker); survivors batch together
+                good = []
+                for im, fut in items:
+                    try:
+                        good.append(
+                            (self.predictor._coerce(np.asarray(im)[None])[0],
+                             fut)
+                        )
+                    except Exception as exc:
                         fut.set_exception(exc)
+                if good:
+                    try:
+                        outs = self.predictor(np.stack([g for g, _ in good]))
+                        for i, (_, fut) in enumerate(good):
+                            fut.set_result(tuple(o[i] for o in outs))
+                    except Exception as exc:  # device-side error: the group
+                        for _, fut in good:   # shares one inference call
+                            fut.set_exception(exc)
             if stop:
                 return

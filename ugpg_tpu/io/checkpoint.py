@@ -45,7 +45,7 @@ __all__ = ["save_checkpoint", "load_checkpoint", "sniff_stage",
 _ORBAX_VARS = "variables_orbax"
 _ORBAX_OPT = "opt_state_orbax"
 
-_ASYNC_CKPTR = None
+_ASYNC_CKPTRS: dict = {}
 
 
 def _orbax_checkpointer():
@@ -54,19 +54,21 @@ def _orbax_checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def _orbax_async_checkpointer():
-    global _ASYNC_CKPTR
-    if _ASYNC_CKPTR is None:
+def _orbax_async_checkpointer(kind: str):
+    # one AsyncCheckpointer per payload kind: saving opt_state must not
+    # block on the variables flush started a moment earlier (waits are
+    # per-checkpointer)
+    if kind not in _ASYNC_CKPTRS:
         import orbax.checkpoint as ocp
 
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-    return _ASYNC_CKPTR
+        _ASYNC_CKPTRS[kind] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTRS[kind]
 
 
 def wait_for_async_saves() -> None:
     """Block until all in-flight orbax-async checkpoint writes finalize."""
-    if _ASYNC_CKPTR is not None:
-        _ASYNC_CKPTR.wait_until_finished()
+    for ckptr in _ASYNC_CKPTRS.values():
+        ckptr.wait_until_finished()
 
 
 def has_checkpoint(path: str | os.PathLike) -> bool:
@@ -88,15 +90,17 @@ def _to_py(obj):
     return obj
 
 
-def _orbax_save(target: Path, tree, async_save: bool = False) -> None:
+def _orbax_save(target: Path, tree, async_save: bool = False,
+                kind: str = "vars") -> None:
     if async_save:
-        # the previous write to this (or any) target must finalize before
-        # we delete/replace the directory
-        wait_for_async_saves()
+        # the previous write of this KIND must finalize before we
+        # delete/replace its directory (waits are per-checkpointer, so
+        # variables and opt_state flush concurrently)
+        _orbax_async_checkpointer(kind).wait_until_finished()
     if target.exists():
         shutil.rmtree(target)  # overwrite semantics matching the msgpack path
     if async_save:
-        _orbax_async_checkpointer().save(target.resolve(), tree)
+        _orbax_async_checkpointer(kind).save(target.resolve(), tree)
     else:
         _orbax_checkpointer().save(target.resolve(), tree)
 
@@ -116,12 +120,13 @@ def save_checkpoint(
     host_vars = jax.device_get(variables)
     if backend.startswith("orbax"):
         async_save = backend == "orbax-async"
-        _orbax_save(path / _ORBAX_VARS, host_vars, async_save)
+        _orbax_save(path / _ORBAX_VARS, host_vars, async_save, kind="vars")
         if opt_state is not None:
             _orbax_save(
                 path / _ORBAX_OPT,
                 jax.device_get(serialization.to_state_dict(opt_state)),
                 async_save,
+                kind="opt",
             )
     else:
         (path / "variables.msgpack").write_bytes(serialization.to_bytes(host_vars))

@@ -88,11 +88,16 @@ int png_info(const uint8_t* data, int64_t len, int64_t* height,
 // Decode an 8-bit RGB non-interlaced PNG into out (H*W*3 bytes, row-major).
 // Returns 0 on success, a negative error code otherwise.
 int png_decode_rgb8(const uint8_t* data, int64_t len, uint8_t* out,
-                    int64_t out_cap) {
+                    int64_t out_cap) try {
     Header h;
     int rc = parse_header(data, len, &h);
     if (rc != OK) return rc;
     if (h.bit_depth != 8 || h.color_type != 2 || h.interlace != 0)
+        return E_UNSUPPORTED;
+    // sanity-cap untrusted header dimensions: a corrupt IHDR must fail
+    // cleanly (PIL fallback), never allocate unboundedly
+    if (h.width == 0 || h.height == 0 ||
+        h.width > 1u << 16 || h.height > 1u << 16)
         return E_UNSUPPORTED;
     const int64_t W = h.width, H = h.height;
     const int64_t stride = W * 3;
@@ -167,6 +172,10 @@ int png_decode_rgb8(const uint8_t* data, int64_t len, uint8_t* out,
         }
     }
     return OK;
+} catch (...) {
+    // never let a C++ exception (e.g. bad_alloc) cross the ctypes FFI
+    // boundary — that is undefined behavior and would abort the process
+    return E_INFLATE;
 }
 
 }  // extern "C"

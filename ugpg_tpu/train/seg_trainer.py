@@ -425,8 +425,12 @@ class UncertaintyGuidedProgressiveTrainer:
 
         last_stage = None
         for stage in (4, 3, 2, 1):
-            meta_file = save_path / f"ug_pgunet_stage{stage}_last" / "metadata.json"
-            if meta_file.exists():
+            ckpt_dir = save_path / f"ug_pgunet_stage{stage}_last"
+            meta_file = ckpt_dir / "metadata.json"
+            # require the DATA too: an interrupted orbax-async save can leave
+            # metadata.json without a finalized array write — resume must
+            # fall back to the previous complete checkpoint, not crash
+            if meta_file.exists() and has_checkpoint(ckpt_dir):
                 last_stage = stage
                 break
         if last_stage is None:

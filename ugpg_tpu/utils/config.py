@@ -34,7 +34,8 @@ class SegTrainConfig:
     bf16: bool = False
     fused_loss: bool = False
     seed: int = 0
-    # distribution + checkpoint backend (round-2 surface)
+    # distribution + checkpoint backend (exposed as --mesh /
+    # --checkpoint_backend on the train CLIs; see cli/train_monuseg.py)
     mesh: str | None = None  # "DATA,MODEL" or "auto"; None = single device
     checkpoint_backend: str = "msgpack"  # msgpack | orbax | orbax-async
 
