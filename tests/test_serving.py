@@ -196,3 +196,35 @@ def test_batching_server_bad_request_resolves_future(ckpt, rng):
     out = server.submit(rng.random((32, 32, 3)).astype(np.float32)).result(30)
     assert out[0].shape == (32, 32, 1)
     server.close()
+
+
+def test_serving_registry_multi_model(ckpt, cls_ckpt, rng):
+    from ugpg_tpu.eval.serving import ServingRegistry
+
+    reg = ServingRegistry(max_latency_ms=30.0)
+    reg.register("seg", str(ckpt), dtype=None, buckets=(4,))
+    reg.register("cls", str(cls_ckpt), task_type="classification",
+                 num_classes=5, dtype=None, buckets=(4,))
+    assert reg.names() == ["cls", "seg"]
+    with pytest.raises(ValueError, match="already registered"):
+        reg.register("seg", str(ckpt))
+    with pytest.raises(KeyError, match="unknown model"):
+        reg.get("nope")
+
+    x = rng.random((3, 32, 32, 3)).astype(np.float32)
+    preds, probs, unc = reg.predict("seg", x)
+    assert preds.shape == (3, 32, 32, 1)
+    labels, cprobs = reg.predict("cls", x)
+    assert labels.shape == (3,) and cprobs.shape == (3, 5)
+
+    # micro-batched single requests against both models concurrently
+    futs = [reg.submit("seg", x[0]), reg.submit("cls", x[1]),
+            reg.submit("seg", x[2])]
+    assert futs[0].result(30)[0].shape == (32, 32, 1)
+    assert futs[1].result(30)[1].shape == (5,)
+    assert futs[2].result(30)[0].shape == (32, 32, 1)
+    reg.close()
+    # predictors remain usable after close; a new submit re-creates a server
+    reg.predict("seg", x)
+    assert reg.submit("seg", x[0]).result(30)[0].shape == (32, 32, 1)
+    reg.close()

@@ -16,6 +16,8 @@ saturated batches, and no stragglers recompiling.  Three layers:
   one device call serves the group, futures resolve per caller.  The
   standard TPU-serving front end (deadline-bounded batching), absent from
   the reference (per-image Python loop, ref: test_monuseg.py:164-201).
+* ``ServingRegistry`` — named multi-model serving over the above (stage
+  variants / seg + cls side by side), with lazy per-model micro-batchers.
 
 BatchNorm folding (``fold_bn=True``) bakes the BN affine into conv weights
 (models/folding.py) — numerically identical, slightly smaller weight set;
@@ -40,7 +42,7 @@ from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners
 from ugpg_tpu.uncertainty import binary_uncertainty
 
-__all__ = ["Predictor", "BatchingServer"]
+__all__ = ["Predictor", "BatchingServer", "ServingRegistry"]
 
 
 class Predictor:
@@ -343,3 +345,71 @@ class BatchingServer:
                             fut.set_exception(exc)
             if stop:
                 return
+
+
+class ServingRegistry:
+    """Named multi-model serving: one surface over many ``Predictor``s.
+
+    Production deployments serve several checkpoints side by side (stage
+    variants, seg + cls, canary vs stable).  The registry owns a
+    ``Predictor`` per name plus an optional ``BatchingServer`` front end,
+    with idempotent registration and clean shutdown.
+
+    Example:
+        reg = ServingRegistry()
+        reg.register("seg_stage4", "out/ug_pgunet_stage4_best",
+                     buckets=(1, 64))
+        reg.register("cls", "out/herlev_stage4_best",
+                     task_type="classification", num_classes=7)
+        preds, probs, unc = reg.predict("seg_stage4", images)
+        fut = reg.submit("cls", image)           # micro-batched
+        reg.close()
+    """
+
+    def __init__(self, max_latency_ms: float = 5.0):
+        self._max_latency_ms = max_latency_ms
+        self._predictors: dict[str, Predictor] = {}
+        self._servers: dict[str, BatchingServer] = {}
+        self._lock = threading.Lock()
+
+    def register(self, name: str, checkpoint: str, **predictor_kwargs) -> Predictor:
+        """Load + AOT-compile a model under ``name`` (idempotent per name)."""
+        with self._lock:
+            if name in self._predictors:
+                raise ValueError(f"model {name!r} already registered")
+            p = Predictor(checkpoint, **predictor_kwargs)
+            self._predictors[name] = p
+            return p
+
+    def names(self) -> list[str]:
+        return sorted(self._predictors)
+
+    def get(self, name: str) -> Predictor:
+        try:
+            return self._predictors[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown model {name!r}; registered: {self.names()}"
+            ) from None
+
+    def predict(self, name: str, images):
+        """Synchronous batch prediction on the named model."""
+        return self.get(name)(images)
+
+    def submit(self, name: str, image) -> Future:
+        """Micro-batched single-image request (lazy per-model server)."""
+        with self._lock:
+            server = self._servers.get(name)
+            if server is None:
+                server = BatchingServer(
+                    self.get(name), max_latency_ms=self._max_latency_ms
+                )
+                self._servers[name] = server
+        return server.submit(image)
+
+    def close(self):
+        """Drain and stop all micro-batchers (predictors stay usable)."""
+        with self._lock:
+            servers, self._servers = dict(self._servers), {}
+        for server in servers.values():
+            server.close()
