@@ -64,11 +64,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_training(tmp_path):
-    # subprocess.communicate(timeout=540) bounds the test on its own
-    worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
-    port = _free_port()
+def _run_workers(worker, port):
+    """Spawn both workers; always reap them (kill on timeout/failure)."""
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(port), str(REPO)],
@@ -76,11 +73,40 @@ def test_two_process_distributed_training(tmp_path):
         )
         for i in (0, 1)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    outs = ["", ""]
+    try:
+        deadline = 420.0
+        import time as _time
+
+        t0 = _time.monotonic()
+        for i, p in enumerate(procs):
+            remaining = max(5.0, deadline - (_time.monotonic() - t0))
+            outs[i], _ = p.communicate(timeout=remaining)
+        return [p.returncode for p in procs], outs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+
+def test_two_process_distributed_training(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    # the free-port probe has an unavoidable bind-reuse race on busy hosts;
+    # one retry with a fresh port absorbs it (and any startup flake)
+    for attempt in (0, 1):
+        try:
+            codes, outs = _run_workers(worker, _free_port())
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                continue
+            raise
+        if all(c == 0 for c in codes):
+            break
+        assert attempt == 0, (
+            f"workers failed twice:\n{outs[0][-2000:]}\n{outs[1][-2000:]}"
+        )
 
     import json
 

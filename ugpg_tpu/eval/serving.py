@@ -352,8 +352,9 @@ class ServingRegistry:
 
     Production deployments serve several checkpoints side by side (stage
     variants, seg + cls, canary vs stable).  The registry owns a
-    ``Predictor`` per name plus an optional ``BatchingServer`` front end,
-    with idempotent registration and clean shutdown.
+    ``Predictor`` per name plus an optional ``BatchingServer`` front end;
+    duplicate names are rejected, shutdown drains cleanly, and registration
+    compiles outside the registry lock so live traffic never stalls.
 
     Example:
         reg = ServingRegistry()
@@ -373,13 +374,18 @@ class ServingRegistry:
         self._lock = threading.Lock()
 
     def register(self, name: str, checkpoint: str, **predictor_kwargs) -> Predictor:
-        """Load + AOT-compile a model under ``name`` (idempotent per name)."""
+        """Load + AOT-compile a model under ``name``; duplicate names are
+        rejected.  Compilation happens OUTSIDE the registry lock so
+        registering a new model never stalls live submit() traffic."""
         with self._lock:
             if name in self._predictors:
                 raise ValueError(f"model {name!r} already registered")
-            p = Predictor(checkpoint, **predictor_kwargs)
+        p = Predictor(checkpoint, **predictor_kwargs)
+        with self._lock:
+            if name in self._predictors:  # lost a registration race
+                raise ValueError(f"model {name!r} already registered")
             self._predictors[name] = p
-            return p
+        return p
 
     def names(self) -> list[str]:
         return sorted(self._predictors)
@@ -397,15 +403,25 @@ class ServingRegistry:
         return self.get(name)(images)
 
     def submit(self, name: str, image) -> Future:
-        """Micro-batched single-image request (lazy per-model server)."""
-        with self._lock:
-            server = self._servers.get(name)
-            if server is None:
-                server = BatchingServer(
-                    self.get(name), max_latency_ms=self._max_latency_ms
-                )
-                self._servers[name] = server
-        return server.submit(image)
+        """Micro-batched single-image request (lazy per-model server).
+
+        Robust against a concurrent ``close()``: a server torn down between
+        lookup and submit is replaced and the request retried."""
+        for _ in range(2):
+            with self._lock:
+                server = self._servers.get(name)
+                if server is None:
+                    server = BatchingServer(
+                        self.get(name), max_latency_ms=self._max_latency_ms
+                    )
+                    self._servers[name] = server
+            try:
+                return server.submit(image)
+            except RuntimeError:  # server closed under us; replace and retry
+                with self._lock:
+                    if self._servers.get(name) is server:
+                        del self._servers[name]
+        raise RuntimeError(f"could not submit to {name!r} (closing repeatedly)")
 
     def close(self):
         """Drain and stop all micro-batchers (predictors stay usable)."""
