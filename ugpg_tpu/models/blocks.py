@@ -246,18 +246,55 @@ class Up(nn.Module):
         return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
 
 
+class _Head1x1(nn.Module):
+    """1x1 head as an explicit f32 contraction, param-compatible with nn.Conv.
+
+    Owns ``kernel`` (1,1,C,K) / ``bias`` (K,) under the same names, shapes,
+    and initializers as the ``nn.Conv`` it replaces, so checkpoints, weight
+    transfer, torch import, and BN folding are unaffected.
+
+    ``squeezed=True`` (K==1 only) returns (N,H,W) instead of (N,H,W,1):
+    size-1-channel NHWC tensors get degenerate T(1,128) tilings on TPU
+    (the 128-lane axis carries one useful element), so single-class head
+    sums/resizes run channel-squeezed.  End-to-end flagship effect was
+    measured neutral (XLA was already fusing the expanded chain well —
+    the head fusion is bound by reading its 64-ch input, not by the
+    degenerate output tiles), but the squeezed form keeps the multi-scale
+    resizes on well-tiled (N,H,W) shapes by construction.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, squeezed: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (1, 1, c, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", torch_conv_bias_init_for(c), (self.features,), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        if squeezed:
+            if self.features != 1:
+                raise ValueError("squeezed head requires num_classes == 1")
+            return jnp.einsum("nhwc,c->nhw", xf, kernel[0, 0, :, 0]) + bias[0]
+        return jnp.einsum("nhwc,co->nhwo", xf, kernel[0, 0]) + bias
+
+
 class OutConv(nn.Module):
     """1x1 conv logits head (ref: UG_unet_parts.py:84-91).
 
     Always computes in float32: the multi-scale head sums and downstream
     sigmoid/loss math stay full-precision even on the bf16 fast path.
+    ``squeezed=True`` returns (N,H,W) for single-class heads — see _Head1x1.
     """
 
     num_classes: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return conv1x1(self.num_classes, x.shape[-1], "conv", jnp.float32)(x)
+    def __call__(self, x: jax.Array, squeezed: bool = False) -> jax.Array:
+        return _Head1x1(self.num_classes, name="conv")(x, squeezed)
 
 
 class DownSample(nn.Module):

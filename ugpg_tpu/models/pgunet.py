@@ -21,7 +21,10 @@ import jax
 from flax import linen as nn
 
 from ugpg_tpu.models.blocks import DoubleConv, Down, DownSample, InConv, OutConv, Up, UpSample
-from ugpg_tpu.ops.resize import resize_bilinear_align_corners
+from ugpg_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    resize_bilinear_align_corners_nhw,
+)
 
 __all__ = ["PGUNet1", "PGUNet2", "PGUNet3", "PGUNet4", "UNet", "STAGE_MODELS", "STAGE_RESOLUTIONS"]
 
@@ -29,7 +32,19 @@ STAGE_RESOLUTIONS = {1: 32, 2: 64, 3: 128, 4: 256}
 
 
 def _up_to(logits: jax.Array, size: int) -> jax.Array:
+    """Upsample a logits map to the stage resolution.
+
+    Accepts either (N,H,W,K) maps or channel-squeezed (N,H,W) maps (the
+    single-class fast path — see blocks._Head1x1).
+    """
+    if logits.ndim == 3:
+        return resize_bilinear_align_corners_nhw(logits, (size, size))
     return resize_bilinear_align_corners(logits, (size, size))
+
+
+def _expand(logits: jax.Array) -> jax.Array:
+    """(N,H,W) -> (N,H,W,1) at the model boundary (bitcast-cheap)."""
+    return logits[..., None] if logits.ndim == 3 else logits
 
 
 class PGUNet1(nn.Module):
@@ -47,7 +62,8 @@ class PGUNet1(nn.Module):
         x1 = InConv(512, a, dt, ub, name="inc")(x, train)          # 32x32x512
         x2 = Down(512, a, dt, ub, name="down4")(x1, train)         # 16x16x512
         x3 = Up(256, a, dt, ub, name="up1")(x2, x1, train)         # 32x32x256
-        return OutConv(self.num_classes, name="outc")(x3)
+        sq = self.num_classes == 1
+        return _expand(OutConv(self.num_classes, name="outc")(x3, squeezed=sq))
 
 
 class PGUNet2(nn.Module):
@@ -67,9 +83,10 @@ class PGUNet2(nn.Module):
         x3 = Down(512, a, dt, ub, name="down4")(x2, train)         # 16
         x4 = Up(256, a, dt, ub, name="up1")(x3, x2, train)         # 32
         x5 = Up(128, a, dt, ub, name="up2")(x4, x1, train)         # 64
-        o1 = OutConv(self.num_classes, name="outc1")(x4)
-        o2 = OutConv(self.num_classes, name="outc2")(x5)
-        return _up_to(o1, o2.shape[1]) + o2
+        sq = self.num_classes == 1
+        o1 = OutConv(self.num_classes, name="outc1")(x4, squeezed=sq)
+        o2 = OutConv(self.num_classes, name="outc2")(x5, squeezed=sq)
+        return _expand(_up_to(o1, o2.shape[1]) + o2)
 
 
 class PGUNet3(nn.Module):
@@ -92,9 +109,10 @@ class PGUNet3(nn.Module):
         x6 = Up(128, a, dt, ub, name="up2")(x5, x2, train)         # 64
         x7 = Up(64, a, dt, ub, name="up3")(x6, x1, train)          # 128
         res = x7.shape[1]
-        o = _up_to(OutConv(self.num_classes, name="outc1")(x5), res)
-        o = o + _up_to(OutConv(self.num_classes, name="outc2")(x6), res)
-        return o + OutConv(self.num_classes, name="outc3")(x7)
+        sq = self.num_classes == 1
+        o = _up_to(OutConv(self.num_classes, name="outc1")(x5, squeezed=sq), res)
+        o = o + _up_to(OutConv(self.num_classes, name="outc2")(x6, squeezed=sq), res)
+        return _expand(o + OutConv(self.num_classes, name="outc3")(x7, squeezed=sq))
 
 
 class PGUNet4(nn.Module):
@@ -119,10 +137,11 @@ class PGUNet4(nn.Module):
         x8 = Up(64, a, dt, ub, name="up3")(x7, x2, train)          # 128
         x9 = Up(64, a, dt, ub, name="up4")(x8, x1, train)          # 256
         res = x9.shape[1]
-        o = _up_to(OutConv(self.num_classes, name="outc1")(x6), res)
-        o = o + _up_to(OutConv(self.num_classes, name="outc2")(x7), res)
-        o = o + _up_to(OutConv(self.num_classes, name="outc3")(x8), res)
-        return o + OutConv(self.num_classes, name="outc4")(x9)
+        sq = self.num_classes == 1
+        o = _up_to(OutConv(self.num_classes, name="outc1")(x6, squeezed=sq), res)
+        o = o + _up_to(OutConv(self.num_classes, name="outc2")(x7, squeezed=sq), res)
+        o = o + _up_to(OutConv(self.num_classes, name="outc3")(x8, squeezed=sq), res)
+        return _expand(o + OutConv(self.num_classes, name="outc4")(x9, squeezed=sq))
 
 
 STAGE_MODELS = {1: PGUNet1, 2: PGUNet2, 3: PGUNet3, 4: PGUNet4}
