@@ -26,6 +26,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(e.g. '4,2'; 'auto' = all devices data-parallel)")
     p.add_argument("--checkpoint_backend", default="msgpack",
                    choices=["msgpack", "orbax", "orbax-async"])
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="fuse each epoch into one lax.scan program (one "
+                        "dispatch + one metric fetch per epoch; same "
+                        "trajectory as the per-step path)")
     return p
 
 
@@ -47,6 +51,7 @@ def main(argv=None):
         binary_classification=args.binary,
         uncertainty_alpha=args.uncertainty_alpha,
         output_dir=args.output_dir,
+        scan_epochs=args.scan_epochs,
     )
     if args.data_dir:
         config["data_dir"] = args.data_dir

@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["msgpack", "orbax", "orbax-async"],
                    help="checkpoint storage backend (orbax-async saves "
                         "without blocking the train loop)")
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="fuse each epoch into one lax.scan program (one "
+                        "dispatch + one metric fetch per epoch; same "
+                        "trajectory as the per-step path)")
     return p
 
 
@@ -105,6 +109,7 @@ def main(argv=None):
         config, dtype=jnp.bfloat16 if args.bf16 else None,
         mesh=parse_mesh(args.mesh),
         checkpoint_backend=args.checkpoint_backend,
+        scan_epochs=args.scan_epochs,
     )
 
     if args.plain:

@@ -37,6 +37,7 @@ __all__ = [
     "param_shardings",
     "shard_variables",
     "shard_batch",
+    "shard_stacked_batch",
 ]
 
 # Conv kernels at least this wide on the output-channel axis get TP-sharded.
@@ -105,4 +106,12 @@ def shard_variables(variables, mesh: Mesh, shard_model: bool = True):
 def shard_batch(batch, mesh: Mesh):
     """device_put a (host) batch with the leading axis split over 'data'."""
     sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """device_put a stacked epoch ``(S, B, ...)`` with axis 1 (the per-step
+    batch axis) split over 'data' — the layout ``lax.scan`` epoch programs
+    consume (each scan step sees a 'data'-sharded ``(B, ...)`` slice)."""
+    sh = NamedSharding(mesh, P(None, "data"))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -39,7 +39,7 @@ from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
 from ugpg_tpu.parallel.distributed import global_batch
-from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
+from ugpg_tpu.parallel.mesh import shard_batch, shard_stacked_batch, shard_variables
 from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
 from ugpg_tpu.train.optim import (
     ReduceLROnPlateau,
@@ -47,7 +47,14 @@ from ugpg_tpu.train.optim import (
     get_learning_rate,
     torch_adam,
 )
-from ugpg_tpu.train.steps import TrainState, make_cls_eval_step, make_cls_train_step
+from ugpg_tpu.train.steps import (
+    TrainState,
+    make_cls_eval_epoch,
+    make_cls_eval_step,
+    make_cls_train_epoch,
+    make_cls_train_step,
+    split_epoch_keys,
+)
 from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["HerlevTrainer", "create_config"]
@@ -124,6 +131,12 @@ class HerlevTrainer:
         self._scheduler: ReduceLROnPlateau | None = None
         self._train_steps: dict[tuple, Any] = {}
         self._eval_steps: dict[int, Any] = {}
+        self._train_epochs: dict[int, Any] = {}
+        self._eval_epochs: dict[int, Any] = {}
+        # scan_epochs: fuse each epoch into one lax.scan program (one
+        # dispatch + one metric fetch per epoch); identical trajectory to
+        # the per-step path (same step bodies + RNG subkey sequence)
+        self.scan_epochs = bool(self.config.get("scan_epochs", False))
 
         self.history = {
             "train_loss": [], "val_loss": [],
@@ -202,6 +215,7 @@ class HerlevTrainer:
         self._scheduler = ReduceLROnPlateau(factor=0.5, patience=5)
         # step functions close over tx; rebuild for this stage
         self._train_steps.pop(stage, None)
+        self._train_epochs.pop(stage, None)
         return tx
 
     def transfer_weights(self, prev_stage: int, current_stage: int):
@@ -260,6 +274,45 @@ class HerlevTrainer:
             )
         return self._eval_steps[stage]
 
+    def _get_train_epoch(self, stage: int):
+        self._get_train_step(stage)  # ensures optimizer/state exist
+        if stage not in self._train_epochs:
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = (
+                self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            )
+            self._train_epochs[stage] = make_cls_train_epoch(
+                self.modules[stage],
+                self._tx,
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.config["num_classes"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+                augment=bool(self.config.get("augment", True)),
+                normalize=True,
+            )
+        return self._train_epochs[stage]
+
+    def _get_eval_epoch(self, stage: int):
+        if stage not in self._eval_epochs:
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = (
+                self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            )
+            self._eval_epochs[stage] = make_cls_eval_epoch(
+                self.modules[stage],
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.config["num_classes"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+                normalize=True,
+            )
+        return self._eval_epochs[stage]
+
     def _prev_variables(self, stage: int):
         return self._ensure_variables(stage - 1) if stage > 1 else {}
 
@@ -278,8 +331,98 @@ class HerlevTrainer:
             sum(float(m["uncertainty_weight_std"]) for m in ms) / n,
         )
 
+    def _put_stacked(self, stacked):
+        if self.mesh is not None:
+            return shard_stacked_batch(stacked, self.mesh)
+        return jax.device_put(stacked)
+
+    def _scan_usable(self, stacked) -> bool:
+        if self.mesh is None:
+            return True
+        if jax.process_count() > 1:
+            return False
+        return stacked[0].shape[1] % self.mesh.shape["data"] == 0
+
+    def _combine_cls_scan(self, mean_metrics, n_scan: int, tail_metrics: list):
+        """Merge the scanned prefix (means + summed correct/count) with the
+        ragged tail's per-step metrics; ONE host fetch."""
+        mm, tm = jax.device_get((mean_metrics, tail_metrics))
+        n_total = n_scan + len(tm)
+        correct = int(mm["correct"]) + sum(int(m["correct"]) for m in tm)
+        count = max(int(mm["count"]) + sum(int(m["count"]) for m in tm), 1)
+
+        def wmean(k):
+            return (float(mm[k]) * n_scan + sum(float(m[k]) for m in tm)) / n_total
+
+        return (
+            wmean("final_loss"),
+            wmean("base_loss"),
+            100.0 * correct / count,
+            wmean("uncertainty_weight_mean"),
+            wmean("uncertainty_weight_std"),
+        )
+
+    def _train_epoch_scan(self, batches: list, stage: int):
+        from ugpg_tpu.train.seg_trainer import _stack_epoch
+
+        stacked, tail = _stack_epoch(batches)
+        if not self._scan_usable(stacked):
+            return None
+        epoch_fn = self._get_train_epoch(stage)
+        prev_vars = self._prev_variables(stage)
+        cw = self.class_weights
+        n_scan = stacked[0].shape[0]
+        n_total = n_scan + len(tail)
+        self._drop_key, subs = split_epoch_keys(self._drop_key, n_total)
+        self._state, mean_metrics = epoch_fn(
+            self._state, prev_vars, self._put_stacked(stacked), cw,
+            subs if not tail else subs[:n_scan],
+        )
+        tail_metrics = []
+        if tail:
+            step_fn = self._get_train_step(stage)
+            for i, b in enumerate(tail):
+                self._state, m = step_fn(
+                    self._state, prev_vars, self._as_batch(b), cw,
+                    subs[n_scan + i],
+                )
+                m.pop("logits", None)
+                tail_metrics.append(m)
+        self.variables[stage] = self._state.variables
+        return self._combine_cls_scan(mean_metrics, n_scan, tail_metrics)
+
+    def _validate_epoch_scan(self, batches: list, stage: int):
+        from ugpg_tpu.train.seg_trainer import _stack_epoch
+
+        stacked, tail = _stack_epoch(batches)
+        if not self._scan_usable(stacked):
+            return None
+        epoch_fn = self._get_eval_epoch(stage)
+        prev_vars = self._prev_variables(stage)
+        variables = (
+            self._state.variables if self._state else self._ensure_variables(stage)
+        )
+        cw = self.class_weights
+        mean_metrics = epoch_fn(variables, prev_vars, self._put_stacked(stacked), cw)
+        tail_metrics = []
+        if tail:
+            step_fn = self._get_eval_step(stage)
+            for b in tail:
+                m = dict(step_fn(variables, prev_vars, self._as_batch(b), cw))
+                m.pop("logits", None)
+                tail_metrics.append(m)
+        return self._combine_cls_scan(mean_metrics, stacked[0].shape[0], tail_metrics)
+
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
+        if self.scan_epochs:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0, 0.0, 0.0, 0.0, 0.0)
+            out = self._train_epoch_scan(batches, stage)
+            if out is not None:
+                return out
+            dataloader = batches  # fall through to the per-step path
         step_fn = self._get_train_step(stage)
         prev_vars = self._prev_variables(stage)
         cw = self.class_weights
@@ -302,6 +445,14 @@ class HerlevTrainer:
         return self._reduce_epoch(collected)
 
     def validate_epoch(self, dataloader: Iterable, stage: int):
+        if self.scan_epochs:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0, 0.0, 0.0, 0.0, 0.0)
+            out = self._validate_epoch_scan(batches, stage)
+            if out is not None:
+                return out
+            dataloader = batches
         step_fn = self._get_eval_step(stage)
         prev_vars = self._prev_variables(stage)
         variables = (

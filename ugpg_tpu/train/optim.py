@@ -29,6 +29,7 @@ without recompiling the jitted train step.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,15 @@ def _scale_by_torch_adam(b1: float, b2: float, eps: float) -> optax.GradientTran
     return optax.GradientTransformation(init, update)
 
 
+# The factories below are memoized: trainers rebuild "a fresh optimizer" at
+# every stage entry (reference semantics — fresh STATE), but the transform
+# object itself is a pure function of its hyperparameters.  Returning the
+# same object lets jit caches (tx.init / step programs closing over tx)
+# hit across stages and across trainer instances instead of re-tracing —
+# state freshness is unaffected (state lives in TrainState, not in tx).
+
+
+@lru_cache(maxsize=64)
 def torch_rmsprop(
     learning_rate: float,
     alpha: float = 0.99,
@@ -109,6 +119,7 @@ def torch_rmsprop(
     return make(lr=learning_rate)
 
 
+@lru_cache(maxsize=64)
 def torch_adam(
     learning_rate: float,
     b1: float = 0.9,

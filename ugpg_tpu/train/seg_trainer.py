@@ -31,10 +31,17 @@ from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from ugpg_tpu.models.pgunet import STAGE_MODELS
 from ugpg_tpu.parallel.distributed import global_batch
-from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
+from ugpg_tpu.parallel.mesh import shard_batch, shard_stacked_batch, shard_variables
 from ugpg_tpu.progressive.transfer import transfer_weights
 from ugpg_tpu.train.optim import get_learning_rate, torch_rmsprop
-from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
+from ugpg_tpu.train.steps import (
+    TrainState,
+    make_seg_eval_epoch,
+    make_seg_eval_step,
+    make_seg_train_epoch,
+    make_seg_train_step,
+    split_epoch_keys,
+)
 from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["UncertaintyGuidedProgressiveTrainer", "DEFAULT_STAGE_CONFIGS"]
@@ -54,6 +61,46 @@ _METRIC_KEYS = (
     "uncertainty_weight_mean",
     "uncertainty_weight_std",
 )
+
+
+def _stack_epoch(batches: list):
+    """Split an epoch's batches into (stacked uniform prefix, tail).
+
+    The prefix — every leading batch shaped like the first — stacks to
+    ``(S, B, ...)`` arrays for the ``lax.scan`` epoch program; the ragged
+    remainder (dataset tail without ``drop_last``) is returned for per-step
+    dispatch so shapes stay static.
+
+    Device-resident batches (all leaves ``jax.Array``, e.g. a small dataset
+    cached in HBM across epochs) stack ON DEVICE with ``jnp.stack`` — no
+    host round trip; host batches stack in numpy for one bulk transfer."""
+    shapes = [tuple(np.shape(b[0])) for b in batches]
+    n = 1
+    while n < len(batches) and shapes[n] == shapes[0]:
+        n += 1
+    prefix, tail = batches[:n], batches[n:]
+    on_device = all(isinstance(x, jax.Array) for x in batches[0])
+    if on_device:
+        stacked = tuple(
+            jnp.stack([b[i] for b in prefix]) for i in range(len(batches[0]))
+        )
+    else:
+        stacked = tuple(
+            np.stack([np.asarray(b[i]) for b in prefix])
+            for i in range(len(batches[0]))
+        )
+    return stacked, tail
+
+
+def _combine_scan_metrics(mean_metrics, n_scan: int, tail_metrics: list):
+    """Equal-weight epoch average across the scanned prefix and tail steps
+    (matches the per-step path's mean-of-batches); ONE host fetch."""
+    mm, tm = jax.device_get((mean_metrics, tail_metrics))
+    n_total = n_scan + len(tm)
+    return tuple(
+        (float(mm[k]) * n_scan + sum(float(m[k]) for m in tm)) / n_total
+        for k in _METRIC_KEYS
+    )
 
 
 class UncertaintyGuidedProgressiveTrainer:
@@ -76,6 +123,7 @@ class UncertaintyGuidedProgressiveTrainer:
         mesh=None,
         shard_model: bool = True,
         checkpoint_backend: str = "msgpack",
+        scan_epochs: bool = False,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -84,7 +132,16 @@ class UncertaintyGuidedProgressiveTrainer:
         per-host shards through ``parallel.distributed.global_batch`` — the
         SAME fused step then compiles as one GSPMD program with XLA-inserted
         collectives over ICI.  Global batch size must divide the 'data' axis
-        size."""
+        size.
+
+        ``scan_epochs``: fuse each epoch's steps into ONE ``lax.scan``
+        program (one dispatch + one metric fetch per epoch instead of per
+        batch) — the trajectory is identical to the per-step path (same
+        bodies, same RNG subkey sequence).  Epoch batches are stacked on
+        the host and transferred once; ragged tail batches fall back to
+        per-step dispatch.  Best for small/medium datasets or remote
+        (tunneled) backends where per-step launch latency dominates;
+        multi-process runs ignore it (per-host feeding is per-batch)."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -99,6 +156,7 @@ class UncertaintyGuidedProgressiveTrainer:
         self.mesh = mesh
         self.shard_model = shard_model
         self.checkpoint_backend = checkpoint_backend
+        self.scan_epochs = scan_epochs
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -116,6 +174,8 @@ class UncertaintyGuidedProgressiveTrainer:
         self._state: TrainState | None = None
         self._train_steps: dict[int, Any] = {}
         self._eval_steps: dict[int, Any] = {}
+        self._train_epochs: dict[int, Any] = {}
+        self._eval_epochs: dict[int, Any] = {}
 
         self.history: dict[str, list] = {
             "train_loss": [],
@@ -204,6 +264,40 @@ class UncertaintyGuidedProgressiveTrainer:
             )
         return self._eval_steps[stage]
 
+    def _get_train_epoch(self, stage: int):
+        self._get_train_step(stage)  # ensures optimizer/state exist
+        if stage not in self._train_epochs:
+            cfg = self.stage_configs[stage]
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            self._train_epochs[stage] = make_seg_train_epoch(
+                self.modules[stage],
+                self._tx,
+                stage,
+                cfg["resolution"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+                augment=self.augment,
+                fused_loss=self.fused_loss,
+            )
+        return self._train_epochs[stage]
+
+    def _get_eval_epoch(self, stage: int):
+        if stage not in self._eval_epochs:
+            cfg = self.stage_configs[stage]
+            prev_module = self.modules.get(stage - 1) if stage > 1 else None
+            prev_res = self.stage_configs[stage - 1]["resolution"] if stage > 1 else None
+            self._eval_epochs[stage] = make_seg_eval_epoch(
+                self.modules[stage],
+                stage,
+                cfg["resolution"],
+                prev_module=prev_module,
+                prev_resolution=prev_res,
+                alpha=self.uncertainty_alpha,
+            )
+        return self._eval_epochs[stage]
+
     def _prev_variables(self, stage: int):
         return self._ensure_variables(stage - 1) if stage > 1 else {}
 
@@ -224,10 +318,79 @@ class UncertaintyGuidedProgressiveTrainer:
             # for this one batch
         return jnp.asarray(images), jnp.asarray(masks)
 
+    def _put_stacked(self, stacked):
+        if self.mesh is not None:
+            return shard_stacked_batch(stacked, self.mesh)
+        return jax.device_put(stacked)
+
+    def _scan_usable(self, stacked) -> bool:
+        """Scan path needs single-process feeding and (under a mesh) a
+        per-step batch divisible by the 'data' axis."""
+        if self.mesh is None:
+            return True
+        if jax.process_count() > 1:
+            return False
+        return stacked[0].shape[1] % self.mesh.shape["data"] == 0
+
+    def _train_epoch_scan(self, batches: list, stage: int):
+        stacked, tail = _stack_epoch(batches)
+        if not self._scan_usable(stacked):
+            return None
+        epoch_fn = self._get_train_epoch(stage)
+        prev_vars = self._prev_variables(stage)
+        n_scan = stacked[0].shape[0]
+        n_total = n_scan + len(tail)
+        self._aug_key, subs = split_epoch_keys(self._aug_key, n_total)
+        self._state, mean_metrics = epoch_fn(
+            self._state,
+            prev_vars,
+            self._put_stacked(stacked),
+            self.pos_weight,
+            subs if not tail else subs[:n_scan],
+        )
+        tail_metrics = []
+        if tail:
+            step_fn = self._get_train_step(stage)
+            for i, b in enumerate(tail):
+                self._state, m = step_fn(
+                    self._state, prev_vars, self._as_batch(b),
+                    self.pos_weight, subs[n_scan + i],
+                )
+                tail_metrics.append(m)
+        self.variables[stage] = self._state.variables
+        return _combine_scan_metrics(mean_metrics, n_scan, tail_metrics)
+
+    def _validate_epoch_scan(self, batches: list, stage: int):
+        stacked, tail = _stack_epoch(batches)
+        if not self._scan_usable(stacked):
+            return None
+        epoch_fn = self._get_eval_epoch(stage)
+        prev_vars = self._prev_variables(stage)
+        variables = self._state.variables if self._state else self._ensure_variables(stage)
+        mean_metrics = epoch_fn(
+            variables, prev_vars, self._put_stacked(stacked), self.pos_weight
+        )
+        tail_metrics = []
+        if tail:
+            step_fn = self._get_eval_step(stage)
+            tail_metrics = [
+                step_fn(variables, prev_vars, self._as_batch(b), self.pos_weight)
+                for b in tail
+            ]
+        return _combine_scan_metrics(mean_metrics, stacked[0].shape[0], tail_metrics)
+
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
         """One training epoch; returns the reference's 6-tuple of averages
         (loss, base_loss, dice, accuracy, unc_mean, unc_std) (ref: :186-256)."""
+        if self.scan_epochs:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0,) * len(_METRIC_KEYS)
+            out = self._train_epoch_scan(batches, stage)
+            if out is not None:
+                return out
+            dataloader = batches  # fall through to the per-step path
         step_fn = self._get_train_step(stage)
         prev_vars = self._prev_variables(stage)
         acc: list[dict] = []
@@ -255,6 +418,14 @@ class UncertaintyGuidedProgressiveTrainer:
 
     def validate_epoch(self, dataloader: Iterable, stage: int):
         """One validation epoch (eval-mode BN, no update) (ref: :258-314)."""
+        if self.scan_epochs:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0,) * len(_METRIC_KEYS)
+            out = self._validate_epoch_scan(batches, stage)
+            if out is not None:
+                return out
+            dataloader = batches
         step_fn = self._get_eval_step(stage)
         prev_vars = self._prev_variables(stage)
         variables = self._state.variables if self._state else self._ensure_variables(stage)

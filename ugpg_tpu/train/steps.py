@@ -21,6 +21,7 @@ handled by compile-cache keys, not dynamic shapes (SURVEY §7 hard-part #4).
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
 from typing import Any, Callable, Mapping
 
 import jax
@@ -45,7 +46,15 @@ from ugpg_tpu.uncertainty import (
 )
 
 __all__ = ["TrainState", "make_seg_train_step", "make_seg_eval_step",
-           "make_cls_train_step", "make_cls_eval_step"]
+           "make_cls_train_step", "make_cls_eval_step",
+           "make_seg_train_epoch", "make_seg_eval_epoch",
+           "make_cls_train_epoch", "make_cls_eval_epoch",
+           "split_epoch_keys"]
+
+
+@lru_cache(maxsize=128)
+def _jitted_opt_init(init_fn):
+    return jax.jit(init_fn)
 
 
 class TrainState(struct.PyTreeNode):
@@ -64,11 +73,14 @@ class TrainState(struct.PyTreeNode):
     def create(cls, variables: Mapping[str, Any], tx: optax.GradientTransformation):
         # jit the optimizer init: eager per-leaf zeros_like would dispatch
         # one device op per parameter (hundreds of round trips on a remote
-        # backend); one compiled call materializes the whole state
+        # backend); one compiled call materializes the whole state.  The
+        # jitted wrapper is memoized per tx.init so repeated stage entries
+        # (and fresh trainer instances sharing memoized optimizers, see
+        # train/optim.py) reuse the compiled program instead of re-tracing.
         return cls(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
-            opt_state=jax.jit(tx.init)(variables["params"]),
+            opt_state=_jitted_opt_init(tx.init)(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
 
@@ -106,6 +118,26 @@ def make_seg_train_step(
     (single-pass HBM reduction, no per-pixel loss tensor kept for the
     backward; see ops/pallas/uncertainty_fused.py).
     """
+    step = _build_seg_train_body(
+        module, tx, stage, resolution, prev_module, prev_resolution,
+        alpha, augment, fused_loss,
+    )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _build_seg_train_body(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    augment: bool = False,
+    fused_loss: bool = False,
+) -> Callable:
+    """Un-jitted seg train-step body, shared by the per-step jit and the
+    ``lax.scan`` whole-epoch program (``make_seg_train_epoch``)."""
     use_unc = stage > 1 and prev_module is not None
 
     def step(state: TrainState, prev_variables, batch, pos_weight, rng):
@@ -175,7 +207,7 @@ def make_seg_train_step(
             metrics,
         )
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
 
 
 def make_seg_eval_step(
@@ -187,6 +219,21 @@ def make_seg_eval_step(
     alpha: float = 1.0,
 ) -> Callable:
     """Jitted validation step: same losses/metrics, eval-mode BN, no update."""
+    return jax.jit(
+        _build_seg_eval_body(
+            module, stage, resolution, prev_module, prev_resolution, alpha
+        )
+    )
+
+
+def _build_seg_eval_body(
+    module,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+) -> Callable:
     use_unc = stage > 1 and prev_module is not None
 
     def step(variables, prev_variables, batch, pos_weight):
@@ -220,7 +267,7 @@ def make_seg_eval_step(
             "uncertainty_weight_std": unc_std,
         }
 
-    return jax.jit(step)
+    return step
 
 
 def make_cls_train_step(
@@ -251,6 +298,25 @@ def make_cls_train_step(
     ImageNet normalization does too (ref dataset transform stack:
     herlev_dataset.py:200-228) — no separate host-dispatched programs.
     """
+    step = _build_cls_train_body(
+        module, tx, stage, resolution, num_classes, prev_module,
+        prev_resolution, alpha, augment, normalize,
+    )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _build_cls_train_body(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    augment: bool = False,
+    normalize: bool = False,
+) -> Callable:
     use_unc = stage > 1 and prev_module is not None
 
     def step(state: TrainState, prev_variables, batch, class_weights, rng):
@@ -318,10 +384,28 @@ def make_cls_train_step(
             metrics,
         )
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
 
 
 def make_cls_eval_step(
+    module,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    normalize: bool = False,
+) -> Callable:
+    return jax.jit(
+        _build_cls_eval_body(
+            module, stage, resolution, num_classes, prev_module,
+            prev_resolution, alpha, normalize,
+        )
+    )
+
+
+def _build_cls_eval_body(
     module,
     stage: int,
     resolution: int,
@@ -370,4 +454,167 @@ def make_cls_eval_step(
             "logits": logits,
         }
 
-    return jax.jit(step)
+    return step
+
+
+# ----------------------------------------------------------------------
+# Whole-epoch scan programs: S train/eval steps fused into ONE XLA call.
+#
+# Per-step dispatch costs one host->device program launch (and, on a
+# remote/tunneled backend, a network round trip) per batch; at small batch
+# compute this dominates wall time.  ``lax.scan`` over a stacked epoch
+# ``(S, B, ...)`` compiles the step body ONCE and runs all S optimizer
+# updates device-side — one dispatch and one metric fetch per epoch.  The
+# bodies are byte-identical to the per-step jits (same builders), so the
+# update trajectory matches the loop path exactly for the same RNG keys.
+
+
+@partial(jax.jit, static_argnums=1)
+def split_epoch_keys(key, n: int):
+    """Iterate ``key, sub = jax.random.split(key)`` n times IN ONE PROGRAM.
+
+    Returns ``(next_key, subs)`` with ``subs.shape == (n,)`` — the exact
+    subkey sequence the per-step training loop draws, so scan-mode epochs
+    reproduce loop-mode trajectories bit-for-bit (augmentation + dropout).
+    """
+
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
+def make_seg_train_epoch(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    donate: bool = True,
+    augment: bool = False,
+    fused_loss: bool = False,
+) -> Callable:
+    """Whole-epoch seg training: ``epoch(state, prev_variables,
+    (images (S,B,H,W,C), masks (S,B,H,W,1)), pos_weight, keys (S,)) ->
+    (state, mean_metrics)``.  Metrics are per-step means averaged over the
+    S steps on device (matching the loop path's equal-weight epoch average).
+    """
+    body = _build_seg_train_body(
+        module, tx, stage, resolution, prev_module, prev_resolution,
+        alpha, augment, fused_loss,
+    )
+
+    def epoch(state: TrainState, prev_variables, batches, pos_weight, keys):
+        images, masks = batches
+
+        def scan_body(st, xs):
+            img, msk, k = xs
+            return body(st, prev_variables, (img, msk), pos_weight, k)
+
+        state, ms = jax.lax.scan(scan_body, state, (images, masks, keys))
+        return state, jax.tree.map(jnp.mean, ms)
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def make_seg_eval_epoch(
+    module,
+    stage: int,
+    resolution: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+) -> Callable:
+    """Whole-epoch seg validation over stacked batches; returns mean metrics."""
+    body = _build_seg_eval_body(
+        module, stage, resolution, prev_module, prev_resolution, alpha
+    )
+
+    def epoch(variables, prev_variables, batches, pos_weight):
+        images, masks = batches
+
+        def scan_body(carry, xs):
+            img, msk = xs
+            return carry, body(variables, prev_variables, (img, msk), pos_weight)
+
+        _, ms = jax.lax.scan(scan_body, 0, (images, masks))
+        return jax.tree.map(jnp.mean, ms)
+
+    return jax.jit(epoch)
+
+
+def make_cls_train_epoch(
+    module,
+    tx: optax.GradientTransformation,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    donate: bool = True,
+    augment: bool = False,
+    normalize: bool = False,
+) -> Callable:
+    """Whole-epoch cls training.  ``correct``/``count`` come back summed
+    over the epoch (accuracy = correct/count), other metrics as means —
+    mirroring ``HerlevTrainer._reduce_epoch``."""
+    body = _build_cls_train_body(
+        module, tx, stage, resolution, num_classes, prev_module,
+        prev_resolution, alpha, augment, normalize,
+    )
+
+    def epoch(state: TrainState, prev_variables, batches, class_weights, keys):
+        images, labels = batches
+
+        def scan_body(st, xs):
+            img, lbl, k = xs
+            return body(st, prev_variables, (img, lbl), class_weights, k)
+
+        state, ms = jax.lax.scan(scan_body, state, (images, labels, keys))
+        return state, _reduce_cls_epoch_metrics(ms)
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def make_cls_eval_epoch(
+    module,
+    stage: int,
+    resolution: int,
+    num_classes: int,
+    prev_module=None,
+    prev_resolution: int | None = None,
+    alpha: float = 1.0,
+    normalize: bool = False,
+) -> Callable:
+    body = _build_cls_eval_body(
+        module, stage, resolution, num_classes, prev_module,
+        prev_resolution, alpha, normalize,
+    )
+
+    def epoch(variables, prev_variables, batches, class_weights):
+        images, labels = batches
+
+        def scan_body(carry, xs):
+            img, lbl = xs
+            m = dict(body(variables, prev_variables, (img, lbl), class_weights))
+            m.pop("logits")  # don't materialize (S, B, K) logits in the scan
+            return carry, m
+
+        _, ms = jax.lax.scan(scan_body, 0, (images, labels))
+        return _reduce_cls_epoch_metrics(ms)
+
+    return jax.jit(epoch)
+
+
+def _reduce_cls_epoch_metrics(ms):
+    out = {}
+    for k, v in ms.items():
+        if k in ("correct", "count"):
+            out[k] = jnp.sum(v)
+        else:
+            out[k] = jnp.mean(v)
+    return out

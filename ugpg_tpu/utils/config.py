@@ -33,6 +33,9 @@ class SegTrainConfig:
     use_aug_dataset: bool = True
     bf16: bool = False
     fused_loss: bool = False
+    # fuse each epoch's steps into one lax.scan program (one dispatch +
+    # one metric fetch per epoch); same trajectory as the per-step path
+    scan_epochs: bool = False
     seed: int = 0
     # distribution + checkpoint backend (exposed as --mesh /
     # --checkpoint_backend on the train CLIs; see cli/train_monuseg.py)
@@ -70,6 +73,7 @@ class HerlevTrainConfig:
     log_interval: int = 10
     augment: bool = True
     bf16: bool = False
+    scan_epochs: bool = False
     seed: int = 0
     mesh: str | None = None
     checkpoint_backend: str = "msgpack"
