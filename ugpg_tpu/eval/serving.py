@@ -69,14 +69,26 @@ class Predictor:
         task_type: str = "segmentation",
         buckets: Sequence[int] | None = None,
         input_dtype=jnp.float32,
+        quantize: bool = False,
+        calibration_batches=None,
     ):
         """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
         RGB requests (scaled to [0,1] on device): 4x less host->device
         transfer per request — the dominant serving cost over a network or
         PCIe link.  float32 requests are converted on the host in that case.
+
+        ``quantize=True`` (segmentation only) serves the W8A8 int8 path
+        (ops/quant.py): BN-folded weights per-channel int8-quantized,
+        activations calibrated on ``calibration_batches`` (iterable of
+        (B, H, W, 3) float arrays in [0, 1]; defaults to uniform random —
+        pass REAL data for production scales).  Measured on v5e: +6.4%
+        throughput over bf16 at the 128 bucket (BASELINE.md), logits
+        within ~1e-3 of the float path.
         """
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
+        if quantize and task_type != "segmentation":
+            raise ValueError("quantize=True supports segmentation only")
         self.task_type = task_type
         self.input_dtype = jnp.dtype(input_dtype)
         if self.input_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.uint8)):
@@ -124,19 +136,45 @@ class Predictor:
                 False,
             )
             variables = load_checkpoint(checkpoint, variables_template=template)[0]
-            if fold_bn:
+            if fold_bn or quantize:  # quantization requires folded convs
                 from ugpg_tpu.models.folding import fold_batchnorm
 
                 variables = fold_batchnorm(variables)
             emit_unc = emit_uncertainty
             n_outputs = 3
 
-            def forward(variables, images):
-                logits = self.module.apply(variables, images, False)
-                probs = jax.nn.sigmoid(logits)
-                preds = (probs > threshold).astype(jnp.float32)
-                unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
-                return preds, probs, unc
+            if quantize:
+                from ugpg_tpu.ops.quant import (
+                    calibrate,
+                    quantize_weights,
+                    quantized_forward,
+                )
+
+                if calibration_batches is None:
+                    calibration_batches = [
+                        jax.random.uniform(
+                            jax.random.key(7),
+                            (8, self.resolution, self.resolution, 3),
+                        )
+                    ]
+                scales = calibrate(variables, self.stage, calibration_batches)
+                variables = quantize_weights(variables, self.stage, scales)
+                stage = self.stage
+
+                def forward(qparams, images):
+                    logits = quantized_forward(qparams, scales, stage, images)
+                    probs = jax.nn.sigmoid(logits)
+                    preds = (probs > threshold).astype(jnp.float32)
+                    unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
+                    return preds, probs, unc
+
+            else:
+                def forward(variables, images):
+                    logits = self.module.apply(variables, images, False)
+                    probs = jax.nn.sigmoid(logits)
+                    preds = (probs > threshold).astype(jnp.float32)
+                    unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
+                    return preds, probs, unc
 
         self.variables = jax.device_put(variables)
         self._n_outputs = n_outputs
