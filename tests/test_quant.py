@@ -99,3 +99,29 @@ def test_predictor_quantize_roundtrip(tmp_path):
     assert preds_q.shape == preds_f.shape
     np.testing.assert_allclose(probs_q, probs_f, atol=5e-3)
     np.testing.assert_allclose(unc_q, unc_f, atol=2e-2)
+
+
+def test_predictor_quantize_composes_with_uint8_requests(tmp_path):
+    """Raw uint8 request executables and the int8 path compose: the /255
+    scaling fuses ahead of the input quantization."""
+    import jax.numpy as jnp
+
+    from ugpg_tpu.eval.serving import Predictor
+    from ugpg_tpu.io.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(5)
+    module = STAGE_MODELS[1](num_classes=1)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(1), x, False)
+    ckpt = tmp_path / "ug_pgunet_stage1_best"
+    save_checkpoint(ckpt, variables, metadata={"stage": 1})
+
+    p8 = Predictor(str(ckpt), buckets=(2,), dtype=None, quantize=True,
+                   input_dtype=jnp.uint8, calibration_batches=[np.asarray(x)])
+    pf = Predictor(str(ckpt), buckets=(2,), dtype=None, quantize=True,
+                   calibration_batches=[np.asarray(x)])
+    raw = (np.asarray(x) * 255).astype(np.uint8)
+    preds8, probs8, _ = p8(raw)
+    predsf, probsf, _ = pf(raw.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(probs8, probsf, atol=5e-3)
+    assert preds8.shape == predsf.shape

@@ -228,3 +228,24 @@ def test_serving_registry_multi_model(ckpt, cls_ckpt, rng):
     reg.predict("seg", x)
     assert reg.submit("seg", x[0]).result(30)[0].shape == (32, 32, 1)
     reg.close()
+
+
+def test_predictor_compact_output(ckpt, rng):
+    """compact_output: uint8 preds + f16 maps (2.4x fewer response bytes),
+    numerically tracking the f32 responses."""
+    x = rng.random((4, 32, 32, 3)).astype(np.float32)
+    pf = Predictor(str(ckpt), batch_size=4, dtype=None)
+    pc = Predictor(str(ckpt), batch_size=4, dtype=None, compact_output=True)
+    preds_f, probs_f, unc_f = pf(x)
+    preds_c, probs_c, unc_c = pc(x)
+    assert preds_c.dtype == np.uint8
+    assert probs_c.dtype == np.float16 and unc_c.dtype == np.float16
+    np.testing.assert_array_equal(preds_c.astype(np.float32), preds_f)
+    np.testing.assert_allclose(probs_c.astype(np.float32), probs_f, atol=1e-3)
+    np.testing.assert_allclose(unc_c.astype(np.float32), unc_f, atol=2e-3)
+
+
+def test_predictor_compact_output_rejects_classification(cls_ckpt):
+    with pytest.raises(ValueError):
+        Predictor(str(cls_ckpt), task_type="classification", num_classes=5,
+                  dtype=None, compact_output=True)

@@ -71,6 +71,7 @@ class Predictor:
         input_dtype=jnp.float32,
         quantize: bool = False,
         calibration_batches=None,
+        compact_output: bool = False,
     ):
         """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
         RGB requests (scaled to [0,1] on device): 4x less host->device
@@ -84,11 +85,22 @@ class Predictor:
         pass REAL data for production scales).  Measured on v5e: +6.4%
         throughput over bf16 at the 128 bucket (BASELINE.md), logits
         within ~1e-3 of the float path.
+
+        ``compact_output=True`` (segmentation only) returns preds as uint8
+        and probs/uncertainty as float16 — 2.4x fewer response bytes.
+        Remote serving is response-transfer-bound (a 128 x 256² request
+        fetches ~100 MB of f32 maps; the maps, not the compute, dominate
+        the wall over any network/PCIe link); float16 is exact to ~5e-4
+        on [0, 1] probabilities.
         """
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
         if quantize and task_type != "segmentation":
             raise ValueError("quantize=True supports segmentation only")
+        if compact_output and task_type != "segmentation":
+            raise ValueError("compact_output=True supports segmentation only")
+        pred_dtype = jnp.uint8 if compact_output else jnp.float32
+        map_dtype = jnp.float16 if compact_output else jnp.float32
         self.task_type = task_type
         self.input_dtype = jnp.dtype(input_dtype)
         if self.input_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.uint8)):
@@ -164,17 +176,17 @@ class Predictor:
                 def forward(qparams, images):
                     logits = quantized_forward(qparams, scales, stage, images)
                     probs = jax.nn.sigmoid(logits)
-                    preds = (probs > threshold).astype(jnp.float32)
+                    preds = (probs > threshold).astype(pred_dtype)
                     unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
-                    return preds, probs, unc
+                    return preds, probs.astype(map_dtype), unc.astype(map_dtype)
 
             else:
                 def forward(variables, images):
                     logits = self.module.apply(variables, images, False)
                     probs = jax.nn.sigmoid(logits)
-                    preds = (probs > threshold).astype(jnp.float32)
+                    preds = (probs > threshold).astype(pred_dtype)
                     unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
-                    return preds, probs, unc
+                    return preds, probs.astype(map_dtype), unc.astype(map_dtype)
 
         self.variables = jax.device_put(variables)
         self._n_outputs = n_outputs

@@ -315,9 +315,13 @@ def quantized_forward(qparams, scales: Mapping[str, float], stage: int, x):
         skip = enc_out[len(enc) - 2 - i]
         # fractional bilinear taps need real arithmetic: dequantize the
         # upsampled half to bf16, interpolate, requantize at its own
-        # calibrated scale.  The skip half concatenates AS IS — its scale
-        # difference is baked into conv1's weights (quantize_weights), so
-        # no requantize pass touches it.
+        # calibrated scale.  (An int8 fixed-point upsample — quantized
+        # interpolation matrices, int8xint8->int32 einsums — was measured
+        # WORSE: 33.2 vs 27.7 GB/step; the int32 einsum outputs
+        # materialize before the requant fuses.  See BASELINE.md.)  The
+        # skip half concatenates AS IS — its scale difference is baked
+        # into conv1's weights (quantize_weights), so no requantize pass
+        # touches it.
         up_f = upsample2x_bilinear_align_corners(
             cur.astype(jnp.bfloat16) * jnp.bfloat16(s_cur)
         )
