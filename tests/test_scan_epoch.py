@@ -12,8 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer, _stack_epoch
-from ugpg_tpu.train.steps import split_epoch_keys
+from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+from ugpg_tpu.train.steps import scan_usable, split_epoch_keys, stack_epoch
 
 
 def _seg_batches(rng, n_batches=3, batch=4, tail=None):
@@ -59,11 +59,24 @@ def test_split_epoch_keys_matches_sequential_splitting():
 
 def test_stack_epoch_splits_uniform_prefix_and_tail(rng):
     batches = _seg_batches(rng, n_batches=3, tail=2)
-    stacked, tail = _stack_epoch(batches)
+    stacked, tail = stack_epoch(batches)
     assert stacked[0].shape == (3, 4, 32, 32, 3)
     assert stacked[1].shape == (3, 4, 32, 32, 1)
     assert len(tail) == 1 and tail[0][0].shape[0] == 2
     np.testing.assert_array_equal(stacked[0][1], batches[1][0])
+
+
+def test_scan_usable_checks_before_stacking(rng):
+    """Eligibility is a function of the FIRST batch + mesh only (no epoch
+    copy): divisible batch -> usable; indivisible -> not."""
+    from ugpg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ok = (np.zeros((8, 8, 8, 3), np.float32), np.zeros((8, 8, 8, 1), np.float32))
+    bad = (np.zeros((3, 8, 8, 3), np.float32), np.zeros((3, 8, 8, 1), np.float32))
+    assert scan_usable(ok, None) and scan_usable(bad, None)
+    assert scan_usable(ok, mesh)
+    assert not scan_usable(bad, mesh)
 
 
 def _run_seg(rng_seed, scan, batches, augment=True):

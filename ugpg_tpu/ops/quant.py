@@ -134,7 +134,6 @@ def quantize_weights(
             "conv1": _quant_conv(c1, s_in),
             "conv2": _quant_conv(c2, scales[f"{name}.mid"]),
         }
-        s_prev = scales[f"{name}.out"]
 
     out["__heads__"] = {
         h: {
@@ -370,8 +369,13 @@ class QuantizedModel:
         self.qparams = qparams
         self.scales = dict(scales)
         self.stage = stage
+        # scales close over the jit as python floats — compile-time
+        # constants, so the requant divisions fold into the conv epilogues
+        # (passing them as arguments would make every scale a traced
+        # operand); qparams stay a runtime argument (weight arrays must
+        # not be baked into the executable)
         self._fwd = jax.jit(
-            lambda qparams, scales, x: quantized_forward(qparams, scales, stage, x)
+            lambda qparams, x: quantized_forward(qparams, self.scales, stage, x)
         )
 
     @classmethod
@@ -383,4 +387,4 @@ class QuantizedModel:
         return cls(quantize_weights(folded, stage, scales), scales, stage)
 
     def __call__(self, x) -> jax.Array:
-        return self._fwd(self.qparams, self.scales, x)
+        return self._fwd(self.qparams, x)

@@ -39,7 +39,7 @@ from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
 from ugpg_tpu.parallel.distributed import global_batch
-from ugpg_tpu.parallel.mesh import shard_batch, shard_stacked_batch, shard_variables
+from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
 from ugpg_tpu.progressive.transfer import flatten_tree, transfer_weights, unflatten_tree
 from ugpg_tpu.train.optim import (
     ReduceLROnPlateau,
@@ -53,7 +53,10 @@ from ugpg_tpu.train.steps import (
     make_cls_eval_step,
     make_cls_train_epoch,
     make_cls_train_step,
+    put_stacked,
+    scan_usable,
     split_epoch_keys,
+    stack_epoch,
 )
 from ugpg_tpu.utils.profiling import CSVLogger
 
@@ -331,18 +334,6 @@ class HerlevTrainer:
             sum(float(m["uncertainty_weight_std"]) for m in ms) / n,
         )
 
-    def _put_stacked(self, stacked):
-        if self.mesh is not None:
-            return shard_stacked_batch(stacked, self.mesh)
-        return jax.device_put(stacked)
-
-    def _scan_usable(self, stacked) -> bool:
-        if self.mesh is None:
-            return True
-        if jax.process_count() > 1:
-            return False
-        return stacked[0].shape[1] % self.mesh.shape["data"] == 0
-
     def _combine_cls_scan(self, mean_metrics, n_scan: int, tail_metrics: list):
         """Merge the scanned prefix (means + summed correct/count) with the
         ragged tail's per-step metrics; ONE host fetch."""
@@ -363,11 +354,9 @@ class HerlevTrainer:
         )
 
     def _train_epoch_scan(self, batches: list, stage: int):
-        from ugpg_tpu.train.seg_trainer import _stack_epoch
-
-        stacked, tail = _stack_epoch(batches)
-        if not self._scan_usable(stacked):
-            return None
+        if not scan_usable(batches[0], self.mesh):
+            return None  # checked before stacking: no wasted epoch copy
+        stacked, tail = stack_epoch(batches)
         epoch_fn = self._get_train_epoch(stage)
         prev_vars = self._prev_variables(stage)
         cw = self.class_weights
@@ -375,7 +364,7 @@ class HerlevTrainer:
         n_total = n_scan + len(tail)
         self._drop_key, subs = split_epoch_keys(self._drop_key, n_total)
         self._state, mean_metrics = epoch_fn(
-            self._state, prev_vars, self._put_stacked(stacked), cw,
+            self._state, prev_vars, put_stacked(stacked, self.mesh), cw,
             subs if not tail else subs[:n_scan],
         )
         tail_metrics = []
@@ -392,18 +381,16 @@ class HerlevTrainer:
         return self._combine_cls_scan(mean_metrics, n_scan, tail_metrics)
 
     def _validate_epoch_scan(self, batches: list, stage: int):
-        from ugpg_tpu.train.seg_trainer import _stack_epoch
-
-        stacked, tail = _stack_epoch(batches)
-        if not self._scan_usable(stacked):
-            return None
+        if not scan_usable(batches[0], self.mesh):
+            return None  # checked before stacking: no wasted epoch copy
+        stacked, tail = stack_epoch(batches)
         epoch_fn = self._get_eval_epoch(stage)
         prev_vars = self._prev_variables(stage)
         variables = (
             self._state.variables if self._state else self._ensure_variables(stage)
         )
         cw = self.class_weights
-        mean_metrics = epoch_fn(variables, prev_vars, self._put_stacked(stacked), cw)
+        mean_metrics = epoch_fn(variables, prev_vars, put_stacked(stacked, self.mesh), cw)
         tail_metrics = []
         if tail:
             step_fn = self._get_eval_step(stage)

@@ -31,7 +31,7 @@ from ugpg_tpu.data.loader import prefetch_to_device
 from ugpg_tpu.io.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from ugpg_tpu.models.pgunet import STAGE_MODELS
 from ugpg_tpu.parallel.distributed import global_batch
-from ugpg_tpu.parallel.mesh import shard_batch, shard_stacked_batch, shard_variables
+from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
 from ugpg_tpu.progressive.transfer import transfer_weights
 from ugpg_tpu.train.optim import get_learning_rate, torch_rmsprop
 from ugpg_tpu.train.steps import (
@@ -40,7 +40,10 @@ from ugpg_tpu.train.steps import (
     make_seg_eval_step,
     make_seg_train_epoch,
     make_seg_train_step,
+    put_stacked,
+    scan_usable,
     split_epoch_keys,
+    stack_epoch,
 )
 from ugpg_tpu.utils.profiling import CSVLogger
 
@@ -61,35 +64,6 @@ _METRIC_KEYS = (
     "uncertainty_weight_mean",
     "uncertainty_weight_std",
 )
-
-
-def _stack_epoch(batches: list):
-    """Split an epoch's batches into (stacked uniform prefix, tail).
-
-    The prefix — every leading batch shaped like the first — stacks to
-    ``(S, B, ...)`` arrays for the ``lax.scan`` epoch program; the ragged
-    remainder (dataset tail without ``drop_last``) is returned for per-step
-    dispatch so shapes stay static.
-
-    Device-resident batches (all leaves ``jax.Array``, e.g. a small dataset
-    cached in HBM across epochs) stack ON DEVICE with ``jnp.stack`` — no
-    host round trip; host batches stack in numpy for one bulk transfer."""
-    shapes = [tuple(np.shape(b[0])) for b in batches]
-    n = 1
-    while n < len(batches) and shapes[n] == shapes[0]:
-        n += 1
-    prefix, tail = batches[:n], batches[n:]
-    on_device = all(isinstance(x, jax.Array) for x in batches[0])
-    if on_device:
-        stacked = tuple(
-            jnp.stack([b[i] for b in prefix]) for i in range(len(batches[0]))
-        )
-    else:
-        stacked = tuple(
-            np.stack([np.asarray(b[i]) for b in prefix])
-            for i in range(len(batches[0]))
-        )
-    return stacked, tail
 
 
 def _combine_scan_metrics(mean_metrics, n_scan: int, tail_metrics: list):
@@ -318,24 +292,10 @@ class UncertaintyGuidedProgressiveTrainer:
             # for this one batch
         return jnp.asarray(images), jnp.asarray(masks)
 
-    def _put_stacked(self, stacked):
-        if self.mesh is not None:
-            return shard_stacked_batch(stacked, self.mesh)
-        return jax.device_put(stacked)
-
-    def _scan_usable(self, stacked) -> bool:
-        """Scan path needs single-process feeding and (under a mesh) a
-        per-step batch divisible by the 'data' axis."""
-        if self.mesh is None:
-            return True
-        if jax.process_count() > 1:
-            return False
-        return stacked[0].shape[1] % self.mesh.shape["data"] == 0
-
     def _train_epoch_scan(self, batches: list, stage: int):
-        stacked, tail = _stack_epoch(batches)
-        if not self._scan_usable(stacked):
-            return None
+        if not scan_usable(batches[0], self.mesh):
+            return None  # checked before stacking: no wasted epoch copy
+        stacked, tail = stack_epoch(batches)
         epoch_fn = self._get_train_epoch(stage)
         prev_vars = self._prev_variables(stage)
         n_scan = stacked[0].shape[0]
@@ -344,7 +304,7 @@ class UncertaintyGuidedProgressiveTrainer:
         self._state, mean_metrics = epoch_fn(
             self._state,
             prev_vars,
-            self._put_stacked(stacked),
+            put_stacked(stacked, self.mesh),
             self.pos_weight,
             subs if not tail else subs[:n_scan],
         )
@@ -361,14 +321,14 @@ class UncertaintyGuidedProgressiveTrainer:
         return _combine_scan_metrics(mean_metrics, n_scan, tail_metrics)
 
     def _validate_epoch_scan(self, batches: list, stage: int):
-        stacked, tail = _stack_epoch(batches)
-        if not self._scan_usable(stacked):
-            return None
+        if not scan_usable(batches[0], self.mesh):
+            return None  # checked before stacking: no wasted epoch copy
+        stacked, tail = stack_epoch(batches)
         epoch_fn = self._get_eval_epoch(stage)
         prev_vars = self._prev_variables(stage)
         variables = self._state.variables if self._state else self._ensure_variables(stage)
         mean_metrics = epoch_fn(
-            variables, prev_vars, self._put_stacked(stacked), self.pos_weight
+            variables, prev_vars, put_stacked(stacked, self.mesh), self.pos_weight
         )
         tail_metrics = []
         if tail:

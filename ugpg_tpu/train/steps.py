@@ -26,6 +26,7 @@ from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -49,7 +50,7 @@ __all__ = ["TrainState", "make_seg_train_step", "make_seg_eval_step",
            "make_cls_train_step", "make_cls_eval_step",
            "make_seg_train_epoch", "make_seg_eval_epoch",
            "make_cls_train_epoch", "make_cls_eval_epoch",
-           "split_epoch_keys"]
+           "split_epoch_keys", "stack_epoch", "scan_usable", "put_stacked"]
 
 
 @lru_cache(maxsize=128)
@@ -618,3 +619,58 @@ def _reduce_cls_epoch_metrics(ms):
         else:
             out[k] = jnp.mean(v)
     return out
+
+
+# ----------------------------------------------------------------------
+# Scan-epoch orchestration helpers shared by both trainers.
+
+
+def scan_usable(first_batch, mesh) -> bool:
+    """Static scan-path eligibility — checked BEFORE any stacking so
+    ineligible configurations don't pay a full-epoch copy: single-process
+    feeding only, and (under a mesh) the per-step batch must divide the
+    'data' axis."""
+    if mesh is None:
+        return True
+    if jax.process_count() > 1:
+        return False
+    return np.shape(first_batch[0])[0] % mesh.shape["data"] == 0
+
+
+def stack_epoch(batches: list):
+    """Split an epoch's batches into (stacked uniform prefix, tail).
+
+    The prefix — every leading batch shaped like the first — stacks to
+    ``(S, B, ...)`` arrays for the ``lax.scan`` epoch program; the ragged
+    remainder (dataset tail without ``drop_last``) is returned for per-step
+    dispatch so shapes stay static.
+
+    Device-resident batches (all leaves ``jax.Array``, e.g. a small dataset
+    cached in HBM across epochs) stack ON DEVICE with ``jnp.stack`` — no
+    host round trip; host batches stack in numpy for one bulk transfer."""
+    shapes = [tuple(np.shape(b[0])) for b in batches]
+    n = 1
+    while n < len(batches) and shapes[n] == shapes[0]:
+        n += 1
+    prefix, tail = batches[:n], batches[n:]
+    on_device = all(isinstance(x, jax.Array) for x in batches[0])
+    if on_device:
+        stacked = tuple(
+            jnp.stack([b[i] for b in prefix]) for i in range(len(batches[0]))
+        )
+    else:
+        stacked = tuple(
+            np.stack([np.asarray(b[i]) for b in prefix])
+            for i in range(len(batches[0]))
+        )
+    return stacked, tail
+
+
+def put_stacked(stacked, mesh):
+    """Device-put a stacked epoch; under a mesh, axis 1 (the per-step
+    batch axis) shards over 'data'."""
+    if mesh is not None:
+        from ugpg_tpu.parallel.mesh import shard_stacked_batch
+
+        return shard_stacked_batch(stacked, mesh)
+    return jax.device_put(stacked)
