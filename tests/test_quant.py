@@ -125,3 +125,66 @@ def test_predictor_quantize_composes_with_uint8_requests(tmp_path):
     predsf, probsf, _ = pf(raw.astype(np.float32) / 255.0)
     np.testing.assert_allclose(probs8, probsf, atol=5e-3)
     assert preds8.shape == predsf.shape
+
+
+def _cls_setup(stage, res, num_classes=7, seed=0):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    rng = np.random.default_rng(seed)
+    module = HerlevClassificationModel(stage=stage, num_classes=num_classes)
+    x = jnp.asarray(rng.random((3, res, res, 3)), jnp.float32)
+    variables = module.init(jax.random.key(seed), x, False)
+    ref = module.apply(variables, x, False)  # eval == folded eval
+    return variables, fold_batchnorm(variables), x, ref
+
+
+@pytest.mark.parametrize("stage,res", [(1, 32), (3, 32)])
+def test_cls_float_walker_matches_module(stage, res):
+    from ugpg_tpu.ops.quant import float_folded_cls_forward
+
+    _, folded, x, ref = _cls_setup(stage, res)
+    got, amax = float_folded_cls_forward(folded, stage, x, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    assert "in" in amax and f"inc.out" in amax
+
+
+def test_cls_quantized_tracks_float():
+    from ugpg_tpu.ops.quant import (
+        calibrate_cls,
+        quantize_cls_weights,
+        quantized_cls_forward,
+    )
+
+    _, folded, x, ref = _cls_setup(2, 32)
+    scales = calibrate_cls(folded, 2, [x], dtype=jnp.float32)
+    qp = quantize_cls_weights(folded, 2, scales)
+    ql = quantized_cls_forward(qp, scales, 2, x)
+    assert ql.shape == ref.shape
+    err = np.asarray(ql) - np.asarray(ref)
+    ref_std = float(np.std(np.asarray(ref))) + 1e-12
+    assert float(np.sqrt(np.mean(err**2))) < 0.25 * ref_std + 1e-4
+    # MLP head weights stayed f32
+    assert qp["__head__"]["fc1"]["kernel"].dtype == jnp.float32
+
+
+def test_predictor_quantize_classification(tmp_path):
+    from ugpg_tpu.eval.serving import Predictor
+    from ugpg_tpu.io.checkpoint import save_checkpoint
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    rng = np.random.default_rng(11)
+    module = HerlevClassificationModel(stage=1, num_classes=5)
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(2), x, False)
+    ckpt = tmp_path / "herlev_stage1_best"
+    save_checkpoint(ckpt, variables, metadata={"stage": 1})
+
+    pf = Predictor(str(ckpt), task_type="classification", num_classes=5,
+                   buckets=(4,), dtype=None)
+    pq = Predictor(str(ckpt), task_type="classification", num_classes=5,
+                   buckets=(4,), dtype=None, quantize=True,
+                   calibration_batches=[np.asarray(x)])
+    labels_f, probs_f = pf(np.asarray(x))
+    labels_q, probs_q = pq(np.asarray(x))
+    assert labels_q.shape == labels_f.shape
+    np.testing.assert_allclose(probs_q, probs_f, atol=0.05)

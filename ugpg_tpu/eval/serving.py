@@ -78,13 +78,14 @@ class Predictor:
         transfer per request — the dominant serving cost over a network or
         PCIe link.  float32 requests are converted on the host in that case.
 
-        ``quantize=True`` (segmentation only) serves the W8A8 int8 path
-        (ops/quant.py): BN-folded weights per-channel int8-quantized,
-        activations calibrated on ``calibration_batches`` (iterable of
-        (B, H, W, 3) float arrays in [0, 1]; defaults to uniform random —
-        pass REAL data for production scales).  Measured on v5e: +6.4%
-        throughput over bf16 at the 128 bucket (BASELINE.md), logits
-        within ~1e-3 of the float path.
+        ``quantize=True`` serves the W8A8 int8 path (ops/quant.py):
+        BN-folded weights per-channel int8-quantized, activations
+        calibrated on ``calibration_batches`` (iterable of (B, H, W, 3)
+        float arrays in the model's input range; defaults to uniform
+        random — pass REAL data for production scales).  Segmentation:
+        full int8 forward (+6.4% over bf16 at the 128 bucket, BASELINE.md,
+        logits within ~1e-3 of float).  Classification: int8 encoder with
+        the f32 GAP + MLP head.
 
         ``compact_output=True`` (segmentation only) returns preds as uint8
         and probs/uncertainty as float16 — 2.4x fewer response bytes.
@@ -95,8 +96,6 @@ class Predictor:
         """
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
-        if quantize and task_type != "segmentation":
-            raise ValueError("quantize=True supports segmentation only")
         if compact_output and task_type != "segmentation":
             raise ValueError("compact_output=True supports segmentation only")
         pred_dtype = jnp.uint8 if compact_output else jnp.float32
@@ -129,10 +128,36 @@ class Predictor:
             variables = load_checkpoint(checkpoint, variables_template=template)[0]
             n_outputs = 2
 
-            def forward(variables, images):
-                logits = self.module.apply(variables, images, False)
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+            if quantize:
+                from ugpg_tpu.models.folding import fold_batchnorm
+                from ugpg_tpu.ops.quant import (
+                    calibrate_cls,
+                    quantize_cls_weights,
+                    quantized_cls_forward,
+                )
+
+                variables = fold_batchnorm(variables)
+                if calibration_batches is None:
+                    calibration_batches = [
+                        jax.random.uniform(
+                            jax.random.key(7),
+                            (8, self.resolution, self.resolution, 3),
+                        )
+                    ]
+                scales = calibrate_cls(variables, self.stage, calibration_batches)
+                variables = quantize_cls_weights(variables, self.stage, scales)
+                stage = self.stage
+
+                def forward(qparams, images):
+                    logits = quantized_cls_forward(qparams, scales, stage, images)
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+            else:
+                def forward(variables, images):
+                    logits = self.module.apply(variables, images, False)
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
 
         else:
             self.resolution = STAGE_RESOLUTIONS[self.stage]

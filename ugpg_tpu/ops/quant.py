@@ -56,6 +56,10 @@ __all__ = [
     "calibrate",
     "quantized_forward",
     "float_folded_forward",
+    "quantize_cls_weights",
+    "calibrate_cls",
+    "quantized_cls_forward",
+    "float_folded_cls_forward",
     "QuantizedModel",
 ]
 
@@ -336,6 +340,93 @@ def quantized_forward(qparams, scales: Mapping[str, float], stage: int, x):
     # head contraction; f32 would double the read bytes)
     feats = [q.astype(jnp.bfloat16) * jnp.bfloat16(s) for q, s in dec_out]
     return _heads_sum(feats, heads, qparams["__heads__"], res)
+
+
+# ----------------------------------------------------------------------
+# Classification (Herlev) variant: the PGUNet encoder walk is the compute
+# (inc + down blocks to the 512-ch map, ref: train_herlev.py:83-102); the
+# f32 GAP + 3-layer MLP head is negligible and precision-critical, so only
+# the encoder quantizes.  Encoder params live under the "unet" scope
+# (models/classifier.py).
+
+
+def _cls_block_names(stage: int):
+    from ugpg_tpu.models.classifier import _ENCODER_SPECS
+
+    _, downs = _ENCODER_SPECS[stage]
+    return ["inc"] + [name for name, _ in downs]
+
+
+def quantize_cls_weights(
+    folded_variables: Mapping[str, Any], stage: int, scales: Mapping[str, float]
+) -> dict:
+    """int8-quantize the classifier's encoder convs (input scales baked
+    in); the MLP head tensors stay f32."""
+    params = folded_variables["params"]
+    enc = params["unet"]
+    out: dict[str, Any] = {}
+    s_prev = scales["in"]
+    for name in _cls_block_names(stage):
+        c1, c2 = _block_params(enc, name)
+        out[name] = {
+            "conv1": _quant_conv(c1, s_prev),
+            "conv2": _quant_conv(c2, scales[f"{name}.mid"]),
+        }
+        s_prev = scales[f"{name}.out"]
+    out["__head__"] = {
+        k: jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), dict(params[k]))
+        for k in ("fc1", "fc2", "fc3")
+    }
+    return out
+
+
+def float_folded_cls_forward(folded_variables, stage: int, x, dtype=jnp.bfloat16):
+    """Folded float classifier forward; returns (logits (N, K), amax)."""
+    params = folded_variables["params"]
+    enc = params["unet"]
+    amax: dict[str, jax.Array] = {"in": jnp.max(jnp.abs(x))}
+    cur = x.astype(dtype)
+    for i, name in enumerate(_cls_block_names(stage)):
+        if i > 0:
+            cur = _pool(cur)
+        p1, p2 = _block_params(enc, name)
+        mid, cur = _fblock(cur, p1, p2, dtype)
+        amax[f"{name}.mid"] = jnp.max(mid).astype(jnp.float32)
+        amax[f"{name}.out"] = jnp.max(cur).astype(jnp.float32)
+    h = jnp.mean(cur.astype(jnp.float32), axis=(1, 2))
+    return _mlp_head(params, h), amax
+
+
+def _mlp_head(params, h):
+    h = jax.nn.relu(h @ params["fc1"]["kernel"] + params["fc1"]["bias"])
+    h = jax.nn.relu(h @ params["fc2"]["kernel"] + params["fc2"]["bias"])
+    return h @ params["fc3"]["kernel"] + params["fc3"]["bias"]
+
+
+def quantized_cls_forward(qparams, scales: Mapping[str, float], stage: int, x):
+    """W8A8 int8 classifier forward: int8 encoder, f32 GAP + MLP head."""
+    cur = _requant(x.astype(jnp.float32), scales["in"])
+    s_cur = scales["in"]
+    for i, name in enumerate(_cls_block_names(stage)):
+        if i > 0:
+            cur = _pool(cur)
+        cur = _qblock(cur, qparams[name],
+                      scales[f"{name}.mid"], scales[f"{name}.out"])
+        s_cur = scales[f"{name}.out"]
+    # GAP with the dequant fused into the reduction read
+    h = jnp.mean(cur.astype(jnp.float32), axis=(1, 2)) * s_cur
+    return _mlp_head(qparams["__head__"], h)
+
+
+def calibrate_cls(folded_variables, stage: int, batches, dtype=jnp.bfloat16) -> dict:
+    fwd = jax.jit(partial(float_folded_cls_forward, stage=stage, dtype=dtype))
+    running: dict[str, float] = {}
+    for batch in batches:
+        _, amax = fwd(folded_variables, x=jnp.asarray(batch))
+        amax = jax.device_get(amax)
+        for k, v in amax.items():
+            running[k] = max(running.get(k, 0.0), float(v))
+    return {k: max(v, 1e-12) / 127.0 for k, v in running.items()}
 
 
 # ----------------------------------------------------------------------
