@@ -87,8 +87,32 @@ def _best_rate(run_chain, batches, iters=10):
 # ---------------------------------------------------------------------------
 
 
+def _chained_forward_rate(forward, variables, shape, batches, jnp, iters=10):
+    """Measure a chained ``forward(v, x, s, i) -> (..., checksum)`` over
+    candidate batch sizes (see module docstring for the methodology)."""
+    rng = np.random.default_rng(0)
+    cache = {}
+
+    def run_chain(batch, n):
+        if batch not in cache:
+            cache[batch] = jnp.asarray(
+                rng.random((batch, *shape), dtype=np.float32)
+            )
+        s = jnp.float32(1.0)
+        for _ in range(n):
+            s = forward(variables, cache[batch], s, jnp.float32(next_call_id()))[-1]
+        float(s)
+
+    return _best_rate(run_chain, batches, iters)
+
+
 def bench_config2(jnp, jax):
+    """Flagship: bf16 AND W8A8-int8 stage-4 inference; the headline value is
+    the best demonstrated path (int8, +6.4% on v5e — BASELINE.md), with the
+    bf16 number reported alongside in the same JSON line."""
+    from ugpg_tpu.models.folding import fold_batchnorm
     from ugpg_tpu.models.pgunet import PGUNet4
+    from ugpg_tpu.ops.quant import calibrate, quantize_weights, quantized_forward
     from ugpg_tpu.uncertainty import binary_uncertainty
 
     module = PGUNet4(num_classes=1, dtype=jnp.bfloat16)
@@ -110,25 +134,40 @@ def bench_config2(jnp, jax):
         # serving emits (no dead-code elimination of preds/probs/unc)
         return preds, probs, unc, jnp.sum(unc)
 
-    rng = np.random.default_rng(0)
-    cache = {}
+    rate_bf16, batch_bf16 = _chained_forward_rate(
+        forward, variables, (256, 256, 3), (64, 128), jnp
+    )
 
-    def run_chain(batch, iters):
-        if batch not in cache:
-            cache[batch] = jnp.asarray(
-                rng.random((batch, 256, 256, 3), dtype=np.float32)
-            )
-        s = jnp.float32(1.0)
-        for _ in range(iters):
-            s = forward(variables, cache[batch], s, jnp.float32(next_call_id()))[3]
-        float(s)
+    # int8: calibrate on the bench input distribution (uniform [0,1) — the
+    # same tensors the timed path sees), quantize, serve at the pinned 128
+    # bucket (sharp measured optimum; off-128 inverts the advantage)
+    folded = fold_batchnorm(variables)
+    calib = [np.random.default_rng(1).random((8, 256, 256, 3), dtype=np.float32)]
+    scales = calibrate(folded, 4, calib)
+    qparams = jax.device_put(quantize_weights(folded, 4, scales))
 
-    rate, batch = _best_rate(run_chain, (64, 128))
+    @jax.jit
+    def qforward(qp, x, s, i):
+        x = x + i * 1e-6 + s * 1e-38
+        logits = quantized_forward(qp, scales, 4, x)
+        probs = jax.nn.sigmoid(logits)
+        preds = (probs > 0.5).astype(jnp.bfloat16)
+        unc = binary_uncertainty(probs)
+        return preds, probs, unc, jnp.sum(unc)
+
+    rate_i8, batch_i8 = _chained_forward_rate(
+        qforward, qparams, (256, 256, 3), (128,), jnp
+    )
+
+    best_is_i8 = rate_i8 >= rate_bf16
     return {
         "metric": "stage4_256px_inference_with_uncertainty_img_per_s",
-        "value": round(rate, 2),
+        "value": round(max(rate_i8, rate_bf16), 2),
         "unit": "img/s/chip",
-        "batch": batch,
+        "batch": batch_i8 if best_is_i8 else batch_bf16,
+        "path": "int8_w8a8" if best_is_i8 else "bf16",
+        "bf16_img_per_s": round(rate_bf16, 2),
+        "int8_img_per_s": round(rate_i8, 2),
     }
 
 
@@ -171,7 +210,15 @@ def bench_config1(jnp, jax):
 
 
 def bench_config3(jnp, jax):
+    """Herlev classification: bf16 AND int8-encoder paths (int8 measured
+    +44% on v5e — BASELINE.md); headline value = best path, both reported."""
     from ugpg_tpu.models.classifier import HerlevClassificationModel
+    from ugpg_tpu.models.folding import fold_batchnorm
+    from ugpg_tpu.ops.quant import (
+        calibrate_cls,
+        quantize_cls_weights,
+        quantized_cls_forward,
+    )
 
     module = HerlevClassificationModel(stage=4, num_classes=7, dtype=jnp.bfloat16)
     variables = jax.device_put(
@@ -185,25 +232,34 @@ def bench_config3(jnp, jax):
         probs = jax.nn.softmax(logits, axis=-1)
         return probs, jnp.sum(probs)
 
-    rng = np.random.default_rng(0)
-    cache = {}
+    rate_bf16, batch_bf16 = _chained_forward_rate(
+        forward, variables, (224, 224, 3), (16, 256), jnp
+    )
 
-    def run_chain(batch, iters):
-        if batch not in cache:
-            cache[batch] = jnp.asarray(
-                rng.random((batch, 224, 224, 3), dtype=np.float32)
-            )
-        s = jnp.float32(1.0)
-        for _ in range(iters):
-            s = forward(variables, cache[batch], s, jnp.float32(next_call_id()))[1]
-        float(s)
+    folded = fold_batchnorm(variables)
+    calib = [np.random.default_rng(1).random((8, 224, 224, 3), dtype=np.float32)]
+    scales = calibrate_cls(folded, 4, calib)
+    qparams = jax.device_put(quantize_cls_weights(folded, 4, scales))
 
-    rate, batch = _best_rate(run_chain, (16, 256))
+    @jax.jit
+    def qforward(qp, x, s, i):
+        logits = quantized_cls_forward(qp, scales, 4, x + i * 1e-6 + s * 1e-38)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, jnp.sum(probs)
+
+    rate_i8, batch_i8 = _chained_forward_rate(
+        qforward, qparams, (224, 224, 3), (256,), jnp
+    )
+
+    best_is_i8 = rate_i8 >= rate_bf16
     return {
         "metric": "stage4_herlev_cls_inference_img_per_s",
-        "value": round(rate, 2),
+        "value": round(max(rate_i8, rate_bf16), 2),
         "unit": "img/s/chip",
-        "batch": batch,
+        "batch": batch_i8 if best_is_i8 else batch_bf16,
+        "path": "int8_w8a8" if best_is_i8 else "bf16",
+        "bf16_img_per_s": round(rate_bf16, 2),
+        "int8_img_per_s": round(rate_i8, 2),
     }
 
 

@@ -132,7 +132,21 @@ def test_graft_entry_and_dryrun():
     assert preds.shape == (8, 256, 256, 1)
     assert 0.0 <= float(unc.min()) and float(unc.max()) <= 1.0
 
+    # fast default path (what the driver runs): sharded step + spatial check
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_full_trainer():
+    """Opt-in heavyweight path: the full 2-stage progressive trainer (scan
+    epochs + sharded resume) under the mesh — ~25 min cold on 1 CPU core.
+    Deselected by default (pyproject addopts); run with ``pytest -m slow``."""
+    import __graft_entry__ as ge
+    from ugpg_tpu.parallel.mesh import make_mesh
+
+    ge._dryrun_full_trainer(
+        make_mesh(n_data=4, n_model=2), 8, np.random.default_rng(0)
+    )
 
 
 # ---------------------------------------------------------------------------

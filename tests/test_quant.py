@@ -127,6 +127,36 @@ def test_predictor_quantize_composes_with_uint8_requests(tmp_path):
     assert preds8.shape == predsf.shape
 
 
+def test_predictor_quantize_requires_calibration_and_warns_off128(tmp_path):
+    """Guardrails: quantize=True must not silently calibrate on random data,
+    and off-128 throughput buckets (measured to INVERT the int8 advantage,
+    BASELINE.md batch-size sensitivity) must warn."""
+    import warnings
+
+    from ugpg_tpu.eval.serving import Predictor
+    from ugpg_tpu.io.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(9)
+    module = STAGE_MODELS[1](num_classes=1)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(1), x, False)
+    ckpt = tmp_path / "ug_pgunet_stage1_best"
+    save_checkpoint(ckpt, variables, metadata={"stage": 1})
+
+    with pytest.raises(ValueError, match="calibration_batches"):
+        Predictor(str(ckpt), buckets=(2,), dtype=None, quantize=True)
+
+    with pytest.warns(UserWarning, match="128"):
+        Predictor(str(ckpt), buckets=(64,), dtype=None, quantize=True,
+                  calibration_batches=[np.asarray(x)])
+
+    # small latency buckets and 128-multiples stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Predictor(str(ckpt), buckets=(2,), dtype=None, quantize=True,
+                  calibration_batches=[np.asarray(x)])
+
+
 def _cls_setup(stage, res, num_classes=7, seed=0):
     from ugpg_tpu.models.classifier import HerlevClassificationModel
 

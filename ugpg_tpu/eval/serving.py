@@ -81,11 +81,15 @@ class Predictor:
         ``quantize=True`` serves the W8A8 int8 path (ops/quant.py):
         BN-folded weights per-channel int8-quantized, activations
         calibrated on ``calibration_batches`` (iterable of (B, H, W, 3)
-        float arrays in the model's input range; defaults to uniform
-        random — pass REAL data for production scales).  Segmentation:
-        full int8 forward (+6.4% over bf16 at the 128 bucket, BASELINE.md,
-        logits within ~1e-3 of float).  Classification: int8 encoder with
-        the f32 GAP + MLP head.
+        float arrays in the model's input range — REQUIRED; random
+        calibration silently degrades accuracy, so there is deliberately
+        no fallback).  Segmentation: full int8 forward (+6.4% over bf16
+        at the 128 bucket, BASELINE.md, logits within ~1e-3 of float).
+        Classification: int8 encoder with the f32 GAP + MLP head.
+        Throughput note: batch 128 is a SHARP measured optimum for the
+        int8 seg path on v5e — off-128 throughput buckets invert the int8
+        advantage to ~-5% vs bf16 (BASELINE.md batch-size sensitivity), so
+        a largest bucket that is not a multiple of 128 raises a warning.
 
         ``compact_output=True`` (segmentation only) returns preds as uint8
         and probs/uncertainty as float16 — 2.4x fewer response bytes.
@@ -107,6 +111,30 @@ class Predictor:
         self.buckets = tuple(sorted(set(buckets or (batch_size,))))
         self.batch_size = self.buckets[-1]
         self.stage = sniff_stage(checkpoint, default=4)
+
+        if quantize:
+            if calibration_batches is None:
+                raise ValueError(
+                    "quantize=True requires calibration_batches: an iterable "
+                    "of (B, H, W, 3) float arrays from the REAL input "
+                    "distribution (activation scales calibrated on random "
+                    "data silently degrade accuracy, so there is no default)"
+                )
+            if (
+                task_type == "segmentation"
+                and self.batch_size >= 32
+                and self.batch_size % 128 != 0
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"quantize=True with largest bucket {self.batch_size}: "
+                    "batch 128 is a sharp measured optimum for the int8 seg "
+                    "path on TPU v5e — off-128 throughput buckets run SLOWER "
+                    "than bf16 (BASELINE.md batch-size sensitivity); use a "
+                    "multiple of 128 (latency buckets < 32 are fine)",
+                    stacklevel=2,
+                )
 
         if task_type == "classification":
             from ugpg_tpu.models.classifier import (
