@@ -234,3 +234,83 @@ def test_cls_scan_epoch_matches_loop(rng):
         tr_loop._state.params, tr_scan._state.params,
     )
     assert max(jax.tree.leaves(diffs)) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# Chunked scan epochs: scan_chunk_bytes bounds the per-dispatch stack so the
+# scan path degrades (several scan programs) instead of OOMing at aug-patch
+# dataset scale (VERDICT r2 #6).
+
+
+def test_plan_epoch_chunks_caps_stack_bytes(rng):
+    from ugpg_tpu.train.steps import _batch_nbytes, plan_epoch_chunks
+
+    batches = _seg_batches(rng, n_batches=7, tail=2)
+    per = _batch_nbytes(batches[0])
+
+    # unbounded -> one chunk covering the uniform prefix
+    ranges, tail_start = plan_epoch_chunks(batches, None)
+    assert ranges == [(0, 7)] and tail_start == 7
+
+    # cap at 3 batches -> equal-length chunks of 3, remainder to tail
+    ranges, tail_start = plan_epoch_chunks(batches, 3 * per)
+    assert ranges == [(0, 3), (3, 6)] and tail_start == 6
+    for a, b in ranges:
+        stacked, rest = stack_epoch(batches[a:b])
+        assert not rest
+        assert sum(x.nbytes for x in stacked) <= 3 * per
+
+    # cap below one batch -> degrade to 1-step scans, never crash
+    ranges, tail_start = plan_epoch_chunks(batches, 1)
+    assert ranges == [(i, i + 1) for i in range(7)] and tail_start == 7
+
+
+def test_seg_chunked_scan_matches_unchunked(rng):
+    """A chunk cap that splits the epoch into several scan dispatches must
+    reproduce the single-program scan epoch (same bodies, same subkey
+    slices) to fp tolerance — one epoch, before RMSprop amplification."""
+    batches = _seg_batches(rng, n_batches=4, tail=2)
+    per = sum(np.asarray(x).nbytes for x in batches[0])
+
+    def run(chunk_bytes):
+        tr = UncertaintyGuidedProgressiveTrainer(
+            stage_configs=_SEG_CFGS, verbose=False, seed=0, augment=True,
+            scan_epochs=True, scan_chunk_bytes=chunk_bytes,
+        )
+        tr.setup_optimizer(1)
+        m = tr.train_epoch(batches, 1)
+        v = tr.validate_epoch(batches, 1)
+        return tr, m, v
+
+    tr_one, m_one, v_one = run(None)
+    tr_chunk, m_chunk, v_chunk = run(2 * per)  # 2 chunks of 2 + tail
+    np.testing.assert_allclose(m_chunk, m_one, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(v_chunk, v_one, rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(tr_one._state.params),
+                    jax.tree.leaves(tr_chunk._state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_cls_chunked_scan_matches_unchunked(rng):
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    batches = _cls_batches(rng, n_batches=4, tail=2)
+    per = sum(np.asarray(x).nbytes for x in batches[0])
+
+    def run(chunk_bytes):
+        cfg = create_config()
+        cfg.update(num_classes=7, epochs_per_stage=1, verbose=False,
+                   scan_epochs=True, augment=True,
+                   scan_chunk_bytes=chunk_bytes)
+        tr = HerlevTrainer(cfg, seed=0)
+        tr.current_stage = 1
+        tr.setup_optimizer_scheduler(1)
+        m = tr.train_epoch(batches, 1)
+        v = tr.validate_epoch(batches, 1)
+        return m, v
+
+    m_one, v_one = run(None)
+    m_chunk, v_chunk = run(2 * per)
+    np.testing.assert_allclose(m_chunk, m_one, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(v_chunk, v_one, rtol=2e-5, atol=2e-6)

@@ -65,6 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="fuse each epoch into one lax.scan program (one "
                         "dispatch + one metric fetch per epoch; same "
                         "trajectory as the per-step path)")
+    p.add_argument("--scan_chunk_mb", type=int, default=1024,
+                   help="cap (MiB) on the per-dispatch stacked-epoch size "
+                        "under --scan_epochs; oversized epochs run as "
+                        "several scan programs (0 = unbounded)")
     return p
 
 
@@ -110,6 +114,7 @@ def main(argv=None):
         mesh=parse_mesh(args.mesh),
         checkpoint_backend=args.checkpoint_backend,
         scan_epochs=args.scan_epochs,
+        scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
     )
 
     if args.plain:

@@ -53,6 +53,7 @@ from ugpg_tpu.train.steps import (
     make_cls_eval_step,
     make_cls_train_epoch,
     make_cls_train_step,
+    plan_epoch_chunks,
     put_stacked,
     scan_usable,
     split_epoch_keys,
@@ -140,6 +141,10 @@ class HerlevTrainer:
         # dispatch + one metric fetch per epoch); identical trajectory to
         # the per-step path (same step bodies + RNG subkey sequence)
         self.scan_epochs = bool(self.config.get("scan_epochs", False))
+        # cap on bytes stacked/transferred per scan dispatch (several
+        # equal-length scan programs instead of one unbounded epoch stack);
+        # None = unbounded
+        self.scan_chunk_bytes = self.config.get("scan_chunk_bytes", 1 << 30)
 
         self.history = {
             "train_loss": [], "val_loss": [],
@@ -334,16 +339,26 @@ class HerlevTrainer:
             sum(float(m["uncertainty_weight_std"]) for m in ms) / n,
         )
 
-    def _combine_cls_scan(self, mean_metrics, n_scan: int, tail_metrics: list):
-        """Merge the scanned prefix (means + summed correct/count) with the
-        ragged tail's per-step metrics; ONE host fetch."""
-        mm, tm = jax.device_get((mean_metrics, tail_metrics))
-        n_total = n_scan + len(tm)
-        correct = int(mm["correct"]) + sum(int(m["correct"]) for m in tm)
-        count = max(int(mm["count"]) + sum(int(m["count"]) for m in tm), 1)
+    def _combine_cls_scan(self, parts: list, tail_metrics: list):
+        """Merge the scanned chunks (``(mean_metrics, n_steps)`` pairs:
+        means + summed correct/count) with the ragged tail's per-step
+        metrics; ONE host fetch."""
+        parts, tm = jax.device_get((parts, tail_metrics))
+        n_total = sum(n for _, n in parts) + len(tm)
+        correct = sum(int(mm["correct"]) for mm, _ in parts) + sum(
+            int(m["correct"]) for m in tm
+        )
+        count = max(
+            sum(int(mm["count"]) for mm, _ in parts)
+            + sum(int(m["count"]) for m in tm),
+            1,
+        )
 
         def wmean(k):
-            return (float(mm[k]) * n_scan + sum(float(m[k]) for m in tm)) / n_total
+            return (
+                sum(float(mm[k]) * n for mm, n in parts)
+                + sum(float(m[k]) for m in tm)
+            ) / n_total
 
         return (
             wmean("final_loss"),
@@ -356,41 +371,52 @@ class HerlevTrainer:
     def _train_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
-        stacked, tail = stack_epoch(batches)
+        ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
+        tail = batches[tail_start:]
         epoch_fn = self._get_train_epoch(stage)
         prev_vars = self._prev_variables(stage)
         cw = self.class_weights
-        n_scan = stacked[0].shape[0]
-        n_total = n_scan + len(tail)
-        self._drop_key, subs = split_epoch_keys(self._drop_key, n_total)
-        self._state, mean_metrics = epoch_fn(
-            self._state, prev_vars, put_stacked(stacked, self.mesh), cw,
-            subs if not tail else subs[:n_scan],
-        )
+        self._drop_key, subs = split_epoch_keys(self._drop_key, len(batches))
+        parts = []
+        for a, b in ranges:
+            # stack + transfer one bounded chunk at a time
+            stacked, _ = stack_epoch(batches[a:b])
+            self._state, mean_metrics = epoch_fn(
+                self._state, prev_vars, put_stacked(stacked, self.mesh), cw,
+                subs[a:b],
+            )
+            parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
             step_fn = self._get_train_step(stage)
             for i, b in enumerate(tail):
                 self._state, m = step_fn(
                     self._state, prev_vars, self._as_batch(b), cw,
-                    subs[n_scan + i],
+                    subs[tail_start + i],
                 )
                 m.pop("logits", None)
                 tail_metrics.append(m)
         self.variables[stage] = self._state.variables
-        return self._combine_cls_scan(mean_metrics, n_scan, tail_metrics)
+        return self._combine_cls_scan(parts, tail_metrics)
 
     def _validate_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
-        stacked, tail = stack_epoch(batches)
+        ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
+        tail = batches[tail_start:]
         epoch_fn = self._get_eval_epoch(stage)
         prev_vars = self._prev_variables(stage)
         variables = (
             self._state.variables if self._state else self._ensure_variables(stage)
         )
         cw = self.class_weights
-        mean_metrics = epoch_fn(variables, prev_vars, put_stacked(stacked, self.mesh), cw)
+        parts = []
+        for a, b in ranges:
+            stacked, _ = stack_epoch(batches[a:b])
+            mean_metrics = epoch_fn(
+                variables, prev_vars, put_stacked(stacked, self.mesh), cw
+            )
+            parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
             step_fn = self._get_eval_step(stage)
@@ -398,7 +424,7 @@ class HerlevTrainer:
                 m = dict(step_fn(variables, prev_vars, self._as_batch(b), cw))
                 m.pop("logits", None)
                 tail_metrics.append(m)
-        return self._combine_cls_scan(mean_metrics, stacked[0].shape[0], tail_metrics)
+        return self._combine_cls_scan(parts, tail_metrics)
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):

@@ -40,6 +40,7 @@ from ugpg_tpu.train.steps import (
     make_seg_eval_step,
     make_seg_train_epoch,
     make_seg_train_step,
+    plan_epoch_chunks,
     put_stacked,
     scan_usable,
     split_epoch_keys,
@@ -66,13 +67,18 @@ _METRIC_KEYS = (
 )
 
 
-def _combine_scan_metrics(mean_metrics, n_scan: int, tail_metrics: list):
-    """Equal-weight epoch average across the scanned prefix and tail steps
-    (matches the per-step path's mean-of-batches); ONE host fetch."""
-    mm, tm = jax.device_get((mean_metrics, tail_metrics))
-    n_total = n_scan + len(tm)
+def _combine_scan_metrics(parts: list, tail_metrics: list):
+    """Equal-weight epoch average across scanned chunks (``(mean_metrics,
+    n_steps)`` pairs) and tail steps (matches the per-step path's
+    mean-of-batches); ONE host fetch."""
+    parts, tm = jax.device_get((parts, tail_metrics))
+    n_total = sum(n for _, n in parts) + len(tm)
     return tuple(
-        (float(mm[k]) * n_scan + sum(float(m[k]) for m in tm)) / n_total
+        (
+            sum(float(mm[k]) * n for mm, n in parts)
+            + sum(float(m[k]) for m in tm)
+        )
+        / n_total
         for k in _METRIC_KEYS
     )
 
@@ -98,6 +104,7 @@ class UncertaintyGuidedProgressiveTrainer:
         shard_model: bool = True,
         checkpoint_backend: str = "msgpack",
         scan_epochs: bool = False,
+        scan_chunk_bytes: int | None = 1 << 30,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -115,7 +122,13 @@ class UncertaintyGuidedProgressiveTrainer:
         the host and transferred once; ragged tail batches fall back to
         per-step dispatch.  Best for small/medium datasets or remote
         (tunneled) backends where per-step launch latency dominates;
-        multi-process runs ignore it (per-host feeding is per-batch)."""
+        multi-process runs ignore it (per-host feeding is per-batch).
+
+        ``scan_chunk_bytes`` (default 1 GiB) caps how much of the epoch is
+        stacked/transferred per scan dispatch: oversized epochs run as
+        several equal-length scan programs instead of one unbounded stack,
+        so host/HBM memory degrades gracefully at aug-patch dataset scale.
+        ``None`` = unbounded (whole epoch in one program)."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -131,6 +144,7 @@ class UncertaintyGuidedProgressiveTrainer:
         self.shard_model = shard_model
         self.checkpoint_backend = checkpoint_backend
         self.scan_epochs = scan_epochs
+        self.scan_chunk_bytes = scan_chunk_bytes
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -295,41 +309,51 @@ class UncertaintyGuidedProgressiveTrainer:
     def _train_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
-        stacked, tail = stack_epoch(batches)
+        ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
+        tail = batches[tail_start:]
         epoch_fn = self._get_train_epoch(stage)
         prev_vars = self._prev_variables(stage)
-        n_scan = stacked[0].shape[0]
-        n_total = n_scan + len(tail)
-        self._aug_key, subs = split_epoch_keys(self._aug_key, n_total)
-        self._state, mean_metrics = epoch_fn(
-            self._state,
-            prev_vars,
-            put_stacked(stacked, self.mesh),
-            self.pos_weight,
-            subs if not tail else subs[:n_scan],
-        )
+        self._aug_key, subs = split_epoch_keys(self._aug_key, len(batches))
+        parts = []
+        for a, b in ranges:
+            # stack + transfer one bounded chunk at a time: peak host/HBM
+            # cost is one chunk, not the whole epoch
+            stacked, _ = stack_epoch(batches[a:b])
+            self._state, mean_metrics = epoch_fn(
+                self._state,
+                prev_vars,
+                put_stacked(stacked, self.mesh),
+                self.pos_weight,
+                subs[a:b],
+            )
+            parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
             step_fn = self._get_train_step(stage)
             for i, b in enumerate(tail):
                 self._state, m = step_fn(
                     self._state, prev_vars, self._as_batch(b),
-                    self.pos_weight, subs[n_scan + i],
+                    self.pos_weight, subs[tail_start + i],
                 )
                 tail_metrics.append(m)
         self.variables[stage] = self._state.variables
-        return _combine_scan_metrics(mean_metrics, n_scan, tail_metrics)
+        return _combine_scan_metrics(parts, tail_metrics)
 
     def _validate_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
-        stacked, tail = stack_epoch(batches)
+        ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
+        tail = batches[tail_start:]
         epoch_fn = self._get_eval_epoch(stage)
         prev_vars = self._prev_variables(stage)
         variables = self._state.variables if self._state else self._ensure_variables(stage)
-        mean_metrics = epoch_fn(
-            variables, prev_vars, put_stacked(stacked, self.mesh), self.pos_weight
-        )
+        parts = []
+        for a, b in ranges:
+            stacked, _ = stack_epoch(batches[a:b])
+            mean_metrics = epoch_fn(
+                variables, prev_vars, put_stacked(stacked, self.mesh), self.pos_weight
+            )
+            parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
             step_fn = self._get_eval_step(stage)
@@ -337,7 +361,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 step_fn(variables, prev_vars, self._as_batch(b), self.pos_weight)
                 for b in tail
             ]
-        return _combine_scan_metrics(mean_metrics, stacked[0].shape[0], tail_metrics)
+        return _combine_scan_metrics(parts, tail_metrics)
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
