@@ -207,3 +207,51 @@ def test_augment_and_import_torch_cli(tmp_path):
     out = tmp_path / "imported_cli"
     import_main(["--pth", str(pth), "--out", str(out)])
     assert (out / "variables.msgpack").exists()
+
+
+def test_monuseg_native_res_eval(seg_ckpt, tmp_path):
+    """Native-resolution eval (VERDICT r2 #5): full-res convolutional
+    forward with padding, sharded == unsharded, metrics vs full-res GT."""
+    from ugpg_tpu.data.monuseg import MoNuSegDataset
+    from ugpg_tpu.eval.monuseg import MoNuSegEvaluator
+    from ugpg_tpu.parallel.mesh import make_mesh
+
+    # size 60: not divisible by the 4-way mesh divisor 8 -> exercises pad
+    root = write_monuseg_tree(tmp_path / "MN", n_train=1, n_val=2, size=60)
+    ds = MoNuSegDataset(str(root), image_size=32, split="val", augment=False)
+    ev = MoNuSegEvaluator(str(seg_ckpt))
+
+    out = tmp_path / "native.json"
+    res_plain = ev.evaluate_dataset_native(ds, output_file=str(out))
+    assert res_plain["native_resolution"] and res_plain["num_samples"] == 2
+    for key in ("dice_mean", "iou_mean", "accuracy_mean"):
+        assert 0.0 <= res_plain[key] <= 1.0
+    assert json.loads(out.read_text())["dice_mean"] == res_plain["dice_mean"]
+
+    res_mesh = ev.evaluate_dataset_native(ds, mesh=make_mesh(4, 1))
+    for k, v in res_plain.items():
+        if isinstance(v, float):
+            np.testing.assert_allclose(res_mesh[k], v, rtol=1e-5, atol=1e-6)
+
+    res_grid = ev.evaluate_dataset_native(
+        ds, mesh=make_mesh(2, 2), w_axis="model"
+    )
+    for k, v in res_plain.items():
+        if isinstance(v, float):
+            np.testing.assert_allclose(res_grid[k], v, rtol=1e-5, atol=1e-6)
+
+
+def test_test_monuseg_cli_native_res(seg_ckpt, tmp_path, monkeypatch):
+    from ugpg_tpu.cli.test_monuseg import main
+
+    root = write_monuseg_tree(tmp_path / "MN2", n_train=1, n_val=1, size=60)
+    monkeypatch.chdir(tmp_path)
+    results = main([
+        "--model", str(seg_ckpt),
+        "--data", str(root),
+        "--num_images", "0",
+        "--eval_full", "--native_res", "--mesh", "2,2",
+        "--output_dir", str(tmp_path / "res_native"),
+    ])
+    assert results["metrics"]["native_resolution"]
+    assert (tmp_path / "res_native" / "evaluation_results_native.json").exists()

@@ -106,3 +106,66 @@ def test_spatial_bf16_path_close(rng):
     )
     # bf16 compute path: loose tolerance, but must track the f32 forward
     np.testing.assert_allclose(got, want, rtol=0.15, atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# 2-D spatial grid (H over 'data', W over 'model') + arbitrary-size padding
+# (VERDICT r2 #5: whole-slide inference must handle real slide sizes like
+# MoNuSeg's 1000x1000, which no 1-axis power-of-two constraint divides).
+
+
+def _grid_mesh(n_h: int, n_w: int) -> Mesh:
+    return Mesh(
+        np.asarray(jax.devices()[: n_h * n_w]).reshape(n_h, n_w),
+        axis_names=("data", "model"),
+    )
+
+
+def test_spatial_2d_grid_matches_unsharded(rng):
+    module, variables = _init(2, 64)
+    variables = _perturbed(variables, rng)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    want = np.asarray(module.apply(variables, x, False))
+    got = np.asarray(
+        spatial_stage_infer(variables, x, 2, _grid_mesh(2, 2), w_axis="model")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_2d_grid_rectangular(rng):
+    """Non-square slide, 4x2 grid: W no longer capped by a single chip."""
+    module, variables = _init(2, 64)
+    variables = _perturbed(variables, rng)
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3), dtype=np.float32))
+    want = np.asarray(module.apply(variables, x, False))
+    got = np.asarray(
+        spatial_stage_infer(variables, x, 2, _grid_mesh(4, 2), w_axis="model")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_pad_to_divisible_roundtrip(rng):
+    """pad=True accepts arbitrary (H, W): zero-pad, infer, crop — identical
+    to the unsharded model on the same padded image, cropped."""
+    from ugpg_tpu.parallel.spatial import pad_to_divisible, spatial_divisor
+
+    module, variables = _init(2, 64)
+    variables = _perturbed(variables, rng)
+    mesh = _grid_mesh(2, 2)
+    assert spatial_divisor(2, mesh, w_axis="model") == (8, 8)
+    x = jnp.asarray(rng.standard_normal((1, 70, 52, 3), dtype=np.float32))
+
+    padded, (h, w) = pad_to_divisible(x, 2, mesh, w_axis="model")
+    assert (h, w) == (70, 52) and padded.shape[1:3] == (72, 56)
+    want_logits = np.asarray(module.apply(padded, False)
+                             if False else module.apply(variables, padded, False))
+    want_probs = 1.0 / (1.0 + np.exp(-want_logits[:, :70, :52]))
+
+    preds, probs, unc = spatial_predict(
+        variables, x, mesh, stage=2, w_axis="model", pad=True
+    )
+    assert probs.shape == (1, 70, 52, 1)
+    np.testing.assert_allclose(np.asarray(probs), want_probs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(unc), 1.0 - 2.0 * np.abs(np.asarray(probs) - 0.5), atol=1e-6
+    )

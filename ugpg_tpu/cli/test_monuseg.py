@@ -38,6 +38,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_uncertainty", action="store_true",
                    help="also write *_unc.png uncertainty heatmaps for the "
                         "visualized images")
+    p.add_argument("--native_res", action="store_true",
+                   help="with --eval_full: evaluate at NATIVE slide "
+                        "resolution (pad + convolutional full-res forward, "
+                        "no downsize-to-stage-res) instead of the "
+                        "reference's <=256px eval; combine with --mesh to "
+                        "shard the slide spatially across devices")
+    p.add_argument("--mesh", type=str, default=None, metavar="H[,W]",
+                   help="spatial shard grid for --native_res: H-way over "
+                        "'data' (and optionally W-way over 'model'), e.g. "
+                        "'4' or '4,2'; 'auto' = all devices H-way")
     p.add_argument("--output_dir", type=str, default="./test_results")
     return p
 
@@ -95,10 +105,32 @@ def main(argv=None):
                     os.path.join(args.output_dir, f"uncertainty_{idx}.png")
                 )
     if args.eval_full:
-        results["metrics"] = evaluator.evaluate_dataset(
-            dataset,
-            output_file=os.path.join(args.output_dir, "evaluation_results.json"),
-        )
+        if args.native_res:
+            mesh = None
+            w_axis = None
+            if args.mesh:
+                from ugpg_tpu.parallel.mesh import make_mesh
+
+                if args.mesh == "auto":
+                    import jax
+
+                    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+                else:
+                    parts = [int(v) for v in args.mesh.split(",")]
+                    n_h, n_w = (parts + [1])[:2]
+                    mesh = make_mesh(n_data=n_h, n_model=n_w)
+                    w_axis = "model" if n_w > 1 else None
+            results["metrics"] = evaluator.evaluate_dataset_native(
+                dataset, mesh=mesh, w_axis=w_axis,
+                output_file=os.path.join(
+                    args.output_dir, "evaluation_results_native.json"
+                ),
+            )
+        else:
+            results["metrics"] = evaluator.evaluate_dataset(
+                dataset,
+                output_file=os.path.join(args.output_dir, "evaluation_results.json"),
+            )
         print("Evaluation:", {k: round(v, 4) for k, v in results["metrics"].items()
                               if isinstance(v, float)})
     return results

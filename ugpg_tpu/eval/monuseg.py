@@ -128,6 +128,83 @@ class MoNuSegEvaluator:
         return results
 
     # ------------------------------------------------------------------
+    def evaluate_dataset_native(
+        self,
+        dataset,
+        mesh=None,
+        w_axis: str | None = None,
+        output_file: str | None = None,
+        max_samples: int | None = None,
+        dtype=None,
+    ) -> dict:
+        """Native-resolution evaluation — no downsizing to the stage res.
+
+        The reference downsizes every tile to <=256px before eval
+        (ref: MoNuSegImprove/test_monuseg.py:164-201), losing nuclei-scale
+        detail; this path runs the stage convolutionally on the FULL image
+        (zero-padded to the divisibility constraint, outputs cropped back)
+        and scores metrics against the full-resolution rasterized GT.
+
+        Under a ``mesh`` the image is spatially sharded — H over 'data'
+        and, if ``w_axis`` names a second mesh axis, W over it — with
+        1-px halo exchange over ICI (parallel/spatial.py), so slides larger
+        than a single chip's activation memory still run.  Without a mesh
+        the padded forward runs unsharded on one device.
+
+        ``dataset`` must expose ``load_raw(idx) -> (u8 HWC image, u8 HW
+        mask)`` (MoNuSegDataset / AugMoNuSegDataset do).
+        """
+        from ugpg_tpu.parallel.spatial import pad_to_divisible, spatial_predict
+
+        pools = 1 if self.stage == 1 else self.stage
+
+        if mesh is None:
+            res_div = 2**pools
+
+            @jax.jit
+            def _forward_native(variables, images):
+                logits = self.module.apply(variables, images, False)
+                probs = jax.nn.sigmoid(logits)
+                return (probs > 0.5).astype(jnp.float32)
+
+        n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+        per_sample: dict[str, list[float]] = {}
+        for idx in range(n):
+            img_u8, mask_u8 = dataset.load_raw(idx)
+            x = jnp.asarray(img_u8.astype(np.float32) / 255.0)[None]
+            h, w = img_u8.shape[:2]
+            if mesh is not None:
+                preds, _, _ = spatial_predict(
+                    self.variables, x, mesh, stage=self.stage,
+                    w_axis=w_axis, dtype=dtype, pad=True,
+                )
+            else:
+                ph, pw = (-h) % res_div, (-w) % res_div
+                if ph or pw:
+                    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                preds = _forward_native(self.variables, x)[:, :h, :w]
+            gt = jnp.asarray(mask_u8.astype(np.float32))[None]
+            batch_m = binary_eval_metrics(preds[..., 0], gt)
+            for k, v in batch_m.items():
+                per_sample.setdefault(k, []).extend(np.asarray(v).tolist())
+
+        results = {}
+        for k, vals in per_sample.items():
+            arr = np.asarray(vals)
+            results[f"{k}_mean"] = float(arr.mean())
+            results[f"{k}_std"] = float(arr.std())
+        results["num_samples"] = n
+        results["stage"] = self.stage
+        results["native_resolution"] = True
+
+        if output_file:
+            Path(output_file).parent.mkdir(parents=True, exist_ok=True)
+            with open(output_file, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"Native-resolution evaluation results saved to {output_file}")
+        return results
+
+    # ------------------------------------------------------------------
     def visualize_predictions(self, dataset, indices, output_dir: str):
         """GT-vs-pred overlay PNGs with per-image Dice/IoU (ref: :299-370)."""
         try:

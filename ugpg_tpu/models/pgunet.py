@@ -31,15 +31,16 @@ __all__ = ["PGUNet1", "PGUNet2", "PGUNet3", "PGUNet4", "UNet", "STAGE_MODELS", "
 STAGE_RESOLUTIONS = {1: 32, 2: 64, 3: 128, 4: 256}
 
 
-def _up_to(logits: jax.Array, size: int) -> jax.Array:
-    """Upsample a logits map to the stage resolution.
+def _up_to(logits: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """Upsample a logits map to the stage (H, W) — rectangular-safe, like
+    the reference's scale-factor interpolate (ref: UG_unet.py:221,257,300).
 
     Accepts either (N,H,W,K) maps or channel-squeezed (N,H,W) maps (the
     single-class fast path — see blocks._Head1x1).
     """
     if logits.ndim == 3:
-        return resize_bilinear_align_corners_nhw(logits, (size, size))
-    return resize_bilinear_align_corners(logits, (size, size))
+        return resize_bilinear_align_corners_nhw(logits, hw)
+    return resize_bilinear_align_corners(logits, hw)
 
 
 def _expand(logits: jax.Array) -> jax.Array:
@@ -86,7 +87,7 @@ class PGUNet2(nn.Module):
         sq = self.num_classes == 1
         o1 = OutConv(self.num_classes, name="outc1")(x4, squeezed=sq)
         o2 = OutConv(self.num_classes, name="outc2")(x5, squeezed=sq)
-        return _expand(_up_to(o1, o2.shape[1]) + o2)
+        return _expand(_up_to(o1, o2.shape[1:3]) + o2)
 
 
 class PGUNet3(nn.Module):
@@ -108,7 +109,7 @@ class PGUNet3(nn.Module):
         x5 = Up(256, a, dt, ub, name="up1")(x4, x3, train)         # 32
         x6 = Up(128, a, dt, ub, name="up2")(x5, x2, train)         # 64
         x7 = Up(64, a, dt, ub, name="up3")(x6, x1, train)          # 128
-        res = x7.shape[1]
+        res = x7.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x5, squeezed=sq), res)
         o = o + _up_to(OutConv(self.num_classes, name="outc2")(x6, squeezed=sq), res)
@@ -136,7 +137,7 @@ class PGUNet4(nn.Module):
         x7 = Up(128, a, dt, ub, name="up2")(x6, x3, train)         # 64
         x8 = Up(64, a, dt, ub, name="up3")(x7, x2, train)          # 128
         x9 = Up(64, a, dt, ub, name="up4")(x8, x1, train)          # 256
-        res = x9.shape[1]
+        res = x9.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x6, squeezed=sq), res)
         o = o + _up_to(OutConv(self.num_classes, name="outc2")(x7, squeezed=sq), res)

@@ -54,6 +54,12 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // n_model
     use = n_data * n_model
+    if use > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model = {use} devices) "
+            f"exceeds the {len(devices)} visible device(s); on CPU set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N to simulate"
+        )
     grid = np.asarray(devices[:use]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 
