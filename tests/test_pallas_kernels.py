@@ -191,3 +191,53 @@ def test_fused_stage1_plain_mean(rng):
         _, metrics = step(TrainState.create(v, tx), {}, (x, y), pw, jax.random.key(0))
         outs.append(float(metrics["final_loss"]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused DoubleConv kernel (ops/pallas/double_conv.py) — a documented
+# negative result perf-wise (BASELINE.md round 3), but the kernel must stay
+# CORRECT: conv3x3+bias+ReLU x2 with zero padding, all tile positions.
+
+
+def _xla_double_conv(x, w1, b1, w2, b2):
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, w1, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+    mid = jnp.maximum(y + b1, 0)
+    y2 = jax.lax.conv_general_dilated(
+        mid, w2, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+    return jnp.maximum(y2 + b2, 0)
+
+
+def test_fused_double_conv_matches_xla_all_tilings(rng):
+    from ugpg_tpu.ops.pallas.double_conv import fused_double_conv
+
+    # single-tile / first-last / interior tile cases
+    for n, h, w, cin, cm, cout, th in (
+        (1, 8, 16, 3, 4, 4, 8),       # nt == 1
+        (2, 16, 16, 5, 8, 6, 8),      # nt == 2 (first/last only)
+        (2, 32, 16, 8, 8, 8, 8),      # interior tiles
+        (1, 48, 24, 4, 6, 5, 16),     # rectangular, non-128 channels
+    ):
+        x = jnp.asarray(rng.standard_normal((n, h, w, cin)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((3, 3, cin, cm)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((cm,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, cm, cout)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+        got = fused_double_conv(x, w1, b1, w2, b2, tile_h=th, interpret=True)
+        want = _xla_double_conv(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_double_conv_rejects_bad_tiling(rng):
+    import pytest
+
+    from ugpg_tpu.ops.pallas.double_conv import fused_double_conv
+
+    x = jnp.zeros((1, 24, 16, 4))
+    w1 = jnp.zeros((3, 3, 4, 4))
+    b = jnp.zeros((4,))
+    w2 = jnp.zeros((3, 3, 4, 4))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_double_conv(x, w1, b, w2, b, tile_h=16, interpret=True)
