@@ -263,12 +263,14 @@ def bench_config3(jnp, jax):
     }
 
 
-def bench_config4(jnp, jax, batch: int = 4, steps_per_stage: int = 2,
+def bench_config4(jnp, jax, batch: int = 4, steps_per_stage: int = 32,
                   scan: bool = True):
-    """Same tiny fixed workload as tools/baseline_torch.py
-    bench_progressive_train: 4 stages x steps, transfer + uncertainty,
-    driven through the REAL trainer methods (no checkpoint I/O or
-    validation — the torch baseline does neither).
+    """Same fixed workload as tools/baseline_torch.py
+    bench_progressive_train — PINNED at 32 steps/stage x batch 4 (512
+    images; VERDICT r2 #7: the old 2-step toy workload mostly measured
+    per-stage tunnel round trips, not device work): 4 stages x steps,
+    transfer + uncertainty, driven through the REAL trainer methods (no
+    checkpoint I/O or validation — the torch baseline does neither).
 
     With ``scan`` (default) each stage's steps run as ONE lax.scan epoch
     program (scan_epochs=True; "N epochs x 1 batch" and "1 epoch x N
