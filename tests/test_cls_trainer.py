@@ -37,6 +37,7 @@ def config():
     return cfg
 
 
+@pytest.mark.slow
 def test_train_progressive_two_stages(tmp_path, config, rng):
     imgs, labels = _cls_data(rng, n=32, size=32)
     train = ArrayLoader(imgs[:24], labels[:24], batch_size=8, shuffle=True)

@@ -90,6 +90,7 @@ def _run_workers(worker, port):
                 p.wait()
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

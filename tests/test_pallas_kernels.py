@@ -2,6 +2,7 @@
 CPU; the same kernels compile for real on TPU)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,7 @@ def test_fused_loss_odd_size_masking(rng):
     np.testing.assert_allclose(float(base), float(want_base), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_loss_int32_mask_beyond_2pow24(rng):
     """Regression: n = 2^24 + 8.  f32 cannot represent odd integers above
     2^24, so the old f32 flat-index compare (idx < f32(n)) mis-masked
@@ -231,8 +233,6 @@ def test_fused_double_conv_matches_xla_all_tilings(rng):
 
 
 def test_fused_double_conv_rejects_bad_tiling(rng):
-    import pytest
-
     from ugpg_tpu.ops.pallas.double_conv import fused_double_conv
 
     x = jnp.zeros((1, 24, 16, 4))

@@ -235,6 +235,7 @@ def test_global_batch_assembles_on_fake_mesh():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_seg_trainer_progressive_on_mesh_matches_single_device(tmp_path):
     from ugpg_tpu.data.synthetic import disk_dataset
     from ugpg_tpu.parallel.mesh import make_mesh

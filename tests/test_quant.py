@@ -41,7 +41,10 @@ def test_float_walker_matches_module(stage, res):
     assert all(float(v) >= 0 for v in jax.device_get(amax).values())
 
 
-@pytest.mark.parametrize("stage,res", [(1, 32), (4, 64)])
+@pytest.mark.parametrize(
+    "stage,res",
+    [pytest.param(1, 32, marks=pytest.mark.slow), (4, 64)],
+)
 def test_quantized_forward_tracks_float(stage, res):
     _, folded, x, ref = _setup(stage, res)
     scales = calibrate(folded, stage, [x], dtype=jnp.float32)
@@ -80,6 +83,7 @@ def test_quantized_model_api_multiclass():
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_predictor_quantize_roundtrip(tmp_path):
     from ugpg_tpu.eval.serving import Predictor
     from ugpg_tpu.io.checkpoint import save_checkpoint
@@ -101,6 +105,7 @@ def test_predictor_quantize_roundtrip(tmp_path):
     np.testing.assert_allclose(unc_q, unc_f, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_predictor_quantize_composes_with_uint8_requests(tmp_path):
     """Raw uint8 request executables and the int8 path compose: the /255
     scaling fuses ahead of the input quantization."""
@@ -197,6 +202,7 @@ def test_cls_quantized_tracks_float():
     assert qp["__head__"]["fc1"]["kernel"].dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_predictor_quantize_classification(tmp_path):
     from ugpg_tpu.eval.serving import Predictor
     from ugpg_tpu.io.checkpoint import save_checkpoint

@@ -100,6 +100,7 @@ def _run_seg(rng_seed, scan, batches, augment=True):
     return tr, metrics, first_epoch
 
 
+@pytest.mark.slow
 def test_seg_scan_epoch_matches_loop_with_ragged_tail(rng):
     """2 stages (incl. uncertainty guidance) + ragged tail.
 
@@ -195,6 +196,7 @@ def _cls_batches(rng, n_batches=3, batch=4, num_classes=7, tail=None):
     ]
 
 
+@pytest.mark.slow
 def test_cls_scan_epoch_matches_loop(rng):
     from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
 
@@ -265,6 +267,7 @@ def test_plan_epoch_chunks_caps_stack_bytes(rng):
     assert ranges == [(i, i + 1) for i in range(7)] and tail_start == 7
 
 
+@pytest.mark.slow
 def test_seg_chunked_scan_matches_unchunked(rng):
     """A chunk cap that splits the epoch into several scan dispatches must
     reproduce the single-program scan epoch (same bodies, same subkey
@@ -292,6 +295,7 @@ def test_seg_chunked_scan_matches_unchunked(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cls_chunked_scan_matches_unchunked(rng):
     from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
 
@@ -314,3 +318,59 @@ def test_cls_chunked_scan_matches_unchunked(rng):
     m_chunk, v_chunk = run(2 * per)
     np.testing.assert_allclose(m_chunk, m_one, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(v_chunk, v_one, rtol=2e-5, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fast default-suite coverage of the scan machinery (the comprehensive
+# 2-stage loop-equivalence tests above are slow-marked; these compile only
+# tiny S=1 stage-1 programs).
+
+
+def test_seg_scan_chunked_with_tail_fast(rng):
+    """Chunked scan (1-batch windows) + ragged tail == per-step loop, one
+    stage-1 epoch at 16px — exercises plan_epoch_chunks routing, the subkey
+    slicing, and the multi-part metric combine in the default suite."""
+    cfg = {1: {"resolution": 16, "epochs_per_stage": 1, "lr": 3e-4}}
+    batches = _seg_batches(rng, n_batches=3, batch=2, tail=1)
+    per = sum(np.asarray(x).nbytes for x in batches[0])
+
+    def run(scan, chunk):
+        tr = UncertaintyGuidedProgressiveTrainer(
+            stage_configs=cfg, verbose=False, seed=0, augment=True,
+            scan_epochs=scan, scan_chunk_bytes=chunk,
+        )
+        tr.setup_optimizer(1)
+        return tr, tr.train_epoch(batches, 1)
+
+    tr_loop, m_loop = run(False, None)
+    tr_scan, m_scan = run(True, per)  # 3 single-batch scan windows + tail
+    # scan body == step body, but XLA compiles them separately: 4 RMSprop
+    # updates accumulate a few ulps of rounding (quantified in the
+    # slow-marked 16-step tests and the parity study)
+    np.testing.assert_allclose(m_scan, m_loop, rtol=3e-4, atol=1e-5)
+    # no param-equality assert: early RMSprop steps amplify ulps around
+    # zero-magnitude weights (rsqrt of tiny nu) into isolated 1e-3-scale
+    # flips (parity study) — any fixed tolerance is chaos-exposed.  The
+    # trajectory claim is carried by the metric agreement above and the
+    # slow-marked exact tests.
+    for a, b in zip(jax.tree.leaves(tr_loop._state.params),
+                    jax.tree.leaves(tr_scan._state.params)):
+        assert a.shape == b.shape and np.all(np.isfinite(np.asarray(b)))
+
+
+def test_cls_scan_epoch_fast(rng):
+    """One-batch cls scan epoch == the per-step cls path (stage 1)."""
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    batches = _cls_batches(rng, n_batches=1, batch=4)
+
+    def run(scan):
+        cfg = create_config()
+        cfg.update(num_classes=7, epochs_per_stage=1, verbose=False,
+                   scan_epochs=scan, augment=True)
+        tr = HerlevTrainer(cfg, seed=0)
+        tr.current_stage = 1
+        tr.setup_optimizer_scheduler(1)
+        return tr.train_epoch(batches, 1)
+
+    np.testing.assert_allclose(run(True), run(False), rtol=2e-5, atol=2e-6)

@@ -32,13 +32,13 @@ def test_stage1_train_step_learns():
 
     batch = (jnp.asarray(images), jnp.asarray(masks))
     losses, dices = [], []
-    for _ in range(12):
+    for _ in range(8):
         state, m = step(state, {}, batch, POS_W, jax.random.key(0))
         losses.append(float(m["final_loss"]))
         dices.append(float(m["dice"]))
     assert losses[-1] < losses[0] * 0.7
     assert dices[-1] > dices[0]
-    assert int(state.step) == 12
+    assert int(state.step) == 8
     # stage 1: no uncertainty stats
     assert float(m["uncertainty_weight_mean"]) == 0.0
 
