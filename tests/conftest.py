@@ -24,8 +24,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: the suite compiles ~100 XLA programs; cache
-# makes re-runs dramatically faster
-jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache_cpu")
+# makes re-runs dramatically faster (override the dir to measure cold runs)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("UGPG_TEST_CACHE_DIR", "/tmp/ugpg_jax_cache_cpu"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -92,9 +92,9 @@ def test_eval_mode_is_deterministic(rng):
 
 def test_legacy_unet_shape():
     model = UNet(num_classes=2)
-    x = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, 32, 32, 3))
     v = model.init(jax.random.key(0), x, False)
-    assert model.apply(v, x, False).shape == (1, 64, 64, 2)
+    assert model.apply(v, x, False).shape == (1, 32, 32, 2)
 
 
 def test_progressive_facade_resizes_input():

@@ -93,8 +93,8 @@ def test_dp_train_step_matches_single_device(rng):
 
 
 def test_dp_tp_stage2_uncertainty_step(rng):
-    """Full stage-2 step (frozen prev fwd + weighted loss) on a 4x2 mesh."""
-    mesh = make_mesh(n_data=4, n_model=2)
+    """Full stage-2 step (frozen prev fwd + weighted loss) on a 2x2 mesh."""
+    mesh = make_mesh(n_data=2, n_model=2)
     m1 = PGUNet1(num_classes=1)
     m2 = PGUNet2(num_classes=1)
     v1 = shard_variables(
@@ -110,8 +110,8 @@ def test_dp_tp_stage2_uncertainty_step(rng):
     )
     batch = shard_batch(
         (
-            rng.random((8, 64, 64, 3)).astype(np.float32),
-            (rng.random((8, 64, 64, 1)) > 0.5).astype(np.float32),
+            rng.random((4, 64, 64, 3)).astype(np.float32),
+            (rng.random((4, 64, 64, 1)) > 0.5).astype(np.float32),
         ),
         mesh,
     )
@@ -283,7 +283,7 @@ def test_cls_trainer_epoch_on_mesh_matches_single_device():
     batches = [(img, lab)]
 
     results = {}
-    for name, mesh in (("single", None), ("mesh", make_mesh(n_data=4, n_model=2))):
+    for name, mesh in (("single", None), ("mesh", make_mesh(n_data=2, n_model=2))):
         tr = HerlevTrainer(cfg, seed=1, mesh=mesh)
         tr.setup_optimizer_scheduler(1)
         results[name] = tr.train_epoch(batches, 1)
@@ -308,7 +308,7 @@ def test_fused_pallas_loss_under_mesh_matches_xla_loss():
     for fused in (True, False):
         tr = UncertaintyGuidedProgressiveTrainer(
             stage_configs=cfgs, verbose=False,
-            mesh=make_mesh(n_data=4, n_model=2), fused_loss=fused,
+            mesh=make_mesh(n_data=2, n_model=2), fused_loss=fused,
         )
         outs[fused] = tr.train_epoch([(imgs, masks)], 1)
     np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-5)

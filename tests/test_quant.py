@@ -33,7 +33,7 @@ def _setup(stage, res, num_classes=1, seed=0):
     return variables, folded, x, ref
 
 
-@pytest.mark.parametrize("stage,res", [(1, 32), (2, 32), (3, 32), (4, 64)])
+@pytest.mark.parametrize("stage,res", [(1, 32), (2, 32), (3, 32), (4, 32)])
 def test_float_walker_matches_module(stage, res):
     _, folded, x, ref = _setup(stage, res)
     got, amax = float_folded_forward(folded, stage, x, dtype=jnp.float32)
@@ -43,7 +43,7 @@ def test_float_walker_matches_module(stage, res):
 
 @pytest.mark.parametrize(
     "stage,res",
-    [pytest.param(1, 32, marks=pytest.mark.slow), (4, 64)],
+    [pytest.param(1, 32, marks=pytest.mark.slow), (4, 32)],
 )
 def test_quantized_forward_tracks_float(stage, res):
     _, folded, x, ref = _setup(stage, res)
@@ -132,14 +132,27 @@ def test_predictor_quantize_composes_with_uint8_requests(tmp_path):
     assert preds8.shape == predsf.shape
 
 
-def test_predictor_quantize_requires_calibration_and_warns_off128(tmp_path):
+def test_predictor_quantize_requires_calibration_and_warns_off128(
+    tmp_path, monkeypatch
+):
     """Guardrails: quantize=True must not silently calibrate on random data,
     and off-128 throughput buckets (measured to INVERT the int8 advantage,
-    BASELINE.md batch-size sensitivity) must warn."""
+    BASELINE.md batch-size sensitivity) must warn.
+
+    The per-bucket AOT compile is stubbed out — this test checks the
+    constructor's guardrail SEMANTICS only; quantized numerics/serving are
+    covered by test_quantized_forward_tracks_float and the slow-marked
+    Predictor round-trip tests."""
     import warnings
 
+    from ugpg_tpu.eval import serving
     from ugpg_tpu.eval.serving import Predictor
     from ugpg_tpu.io.checkpoint import save_checkpoint
+
+    monkeypatch.setattr(
+        serving.Predictor, "_compile_buckets",
+        lambda self, entry, res, in_dtype: setattr(self, "_compiled", {}),
+    )
 
     rng = np.random.default_rng(9)
     module = STAGE_MODELS[1](num_classes=1)

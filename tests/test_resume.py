@@ -8,15 +8,18 @@ import pytest
 from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
 from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
 
+# quarter-resolution stages: the resume/rolling-checkpoint machinery under
+# test is resolution-independent (real stage resolutions are covered by the
+# trainer integration tests)
 CFGS = {
-    1: {"resolution": 32, "epochs_per_stage": 3, "lr": 3e-4},
-    2: {"resolution": 64, "epochs_per_stage": 3, "lr": 1e-4},
+    1: {"resolution": 16, "epochs_per_stage": 3, "lr": 3e-4},
+    2: {"resolution": 32, "epochs_per_stage": 3, "lr": 1e-4},
 }
 
 
 @pytest.fixture
 def loaders():
-    images, masks = disk_dataset(num_samples=12, image_size=64, seed=3)
+    images, masks = disk_dataset(num_samples=12, image_size=32, seed=3)
     return (
         ArrayLoader(images[:8], masks[:8], batch_size=4),
         ArrayLoader(images[8:], masks[8:], batch_size=4),

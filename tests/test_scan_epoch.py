@@ -131,29 +131,12 @@ def test_seg_scan_epoch_matches_loop_with_ragged_tail(rng):
         assert np.all(np.isfinite(np.asarray(a))) and a.shape == b.shape
 
 
-def test_seg_scan_single_step_exact(rng):
-    """A 1-batch epoch (single optimizer step — no chaotic amplification)
-    must agree between scan and loop to float tolerance, including the
-    identical augmentation RNG subkey."""
-    batches = _seg_batches(rng, n_batches=1)
-    tr1 = UncertaintyGuidedProgressiveTrainer(
-        stage_configs=_SEG_CFGS, verbose=False, seed=0, augment=True)
-    tr2 = UncertaintyGuidedProgressiveTrainer(
-        stage_configs=_SEG_CFGS, verbose=False, seed=0, augment=True,
-        scan_epochs=True)
-    tr1.setup_optimizer(1)
-    tr2.setup_optimizer(1)
-    m1 = tr1.train_epoch(batches, 1)
-    m2 = tr2.train_epoch(batches, 1)
-    np.testing.assert_allclose(m2, m1, rtol=2e-5, atol=1e-6)
-
-
 def test_seg_scan_epoch_under_mesh_matches_loop(rng):
     """Scan epochs compose with the (data, model) mesh: stacked batches are
     sharded on axis 1 and the scan program compiles as one GSPMD program."""
     from ugpg_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(n_data=4, n_model=2)
+    mesh = make_mesh(n_data=2, n_model=2)
     batches = _seg_batches(rng, n_batches=2, batch=4)
     tr_loop = UncertaintyGuidedProgressiveTrainer(
         stage_configs=_SEG_CFGS, verbose=False, seed=0, augment=False,
@@ -174,7 +157,7 @@ def test_seg_scan_mesh_falls_back_on_indivisible_batch(rng):
     back to the per-step loop (which replicates), not crash."""
     from ugpg_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(n_data=4, n_model=2)
+    mesh = make_mesh(n_data=2, n_model=2)
     batches = _seg_batches(rng, n_batches=2, batch=3)
     tr = UncertaintyGuidedProgressiveTrainer(
         stage_configs=_SEG_CFGS, verbose=False, seed=0, augment=False,
@@ -334,13 +317,13 @@ def test_seg_scan_chunked_with_tail_fast(rng):
     batches = _seg_batches(rng, n_batches=3, batch=2, tail=1)
     per = sum(np.asarray(x).nbytes for x in batches[0])
 
-    def run(scan, chunk):
+    def run(scan, chunk, epoch=batches):
         tr = UncertaintyGuidedProgressiveTrainer(
             stage_configs=cfg, verbose=False, seed=0, augment=True,
             scan_epochs=scan, scan_chunk_bytes=chunk,
         )
         tr.setup_optimizer(1)
-        return tr, tr.train_epoch(batches, 1)
+        return tr, tr.train_epoch(epoch, 1)
 
     tr_loop, m_loop = run(False, None)
     tr_scan, m_scan = run(True, per)  # 3 single-batch scan windows + tail
@@ -348,6 +331,14 @@ def test_seg_scan_chunked_with_tail_fast(rng):
     # updates accumulate a few ulps of rounding (quantified in the
     # slow-marked 16-step tests and the parity study)
     np.testing.assert_allclose(m_scan, m_loop, rtol=3e-4, atol=1e-5)
+
+    # single-step exactness (no chaotic amplification): fresh trainers on a
+    # 1-batch epoch — same compiled programs as above (the 1-batch chunk
+    # window and the per-step body) — must agree to float tolerance,
+    # including the identical augmentation RNG subkey
+    _, m1 = run(False, None, epoch=batches[:1])
+    _, m2 = run(True, per, epoch=batches[:1])
+    np.testing.assert_allclose(m2, m1, rtol=2e-5, atol=1e-6)
     # no param-equality assert: early RMSprop steps amplify ulps around
     # zero-magnitude weights (rsqrt of tiny nu) into isolated 1e-3-scale
     # flips (parity study) — any fixed tolerance is chaos-exposed.  The
@@ -359,16 +350,18 @@ def test_seg_scan_chunked_with_tail_fast(rng):
 
 
 def test_cls_scan_epoch_fast(rng):
-    """One-batch cls scan epoch == the per-step cls path (stage 1)."""
+    """One-batch cls scan epoch == the per-step cls path (stage 1, shrunk
+    to 16px — the scan machinery under test is resolution-independent)."""
     from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
 
-    batches = _cls_batches(rng, n_batches=1, batch=4)
+    batches = _cls_batches(rng, n_batches=1, batch=2)
 
     def run(scan):
         cfg = create_config()
         cfg.update(num_classes=7, epochs_per_stage=1, verbose=False,
                    scan_epochs=scan, augment=True)
         tr = HerlevTrainer(cfg, seed=0)
+        tr.stage_configs[1]["resolution"] = 16
         tr.current_stage = 1
         tr.setup_optimizer_scheduler(1)
         return tr.train_epoch(batches, 1)

@@ -9,17 +9,20 @@ import pytest
 from ugpg_tpu.data.synthetic import ArrayLoader, DummyDataset, disk_dataset
 from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
 
+# quarter-resolution pyramid: the trainer machinery under test (stage loop,
+# transfer, uncertainty stats, checkpoints, plots) is resolution-independent;
+# full stage resolutions are exercised by bench/profile runs and eval tests
 SMALL_CONFIGS = {
-    1: {"resolution": 32, "epochs_per_stage": 2, "lr": 3e-4},
-    2: {"resolution": 64, "epochs_per_stage": 1, "lr": 1e-4},
-    3: {"resolution": 128, "epochs_per_stage": 1, "lr": 1e-4},
-    4: {"resolution": 256, "epochs_per_stage": 1, "lr": 1e-4},
+    1: {"resolution": 16, "epochs_per_stage": 2, "lr": 3e-4},
+    2: {"resolution": 32, "epochs_per_stage": 1, "lr": 1e-4},
+    3: {"resolution": 64, "epochs_per_stage": 1, "lr": 1e-4},
+    4: {"resolution": 128, "epochs_per_stage": 1, "lr": 1e-4},
 }
 
 
 @pytest.fixture(scope="module")
 def loaders():
-    images, masks = disk_dataset(num_samples=16, image_size=64, seed=1)
+    images, masks = disk_dataset(num_samples=16, image_size=32, seed=1)
     train = ArrayLoader(images[:12], masks[:12], batch_size=4, shuffle=True)
     val = ArrayLoader(images[12:], masks[12:], batch_size=4)
     return train, val
@@ -49,7 +52,7 @@ def test_progressive_two_stages(tmp_path, loaders):
 
 def test_stage1_actually_learns(loaders):
     train, val = loaders
-    cfgs = {1: {"resolution": 32, "epochs_per_stage": 5, "lr": 3e-4}}
+    cfgs = {1: {"resolution": 32, "epochs_per_stage": 3, "lr": 3e-4}}
     tr = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
     tr.train_progressive(train, val, max_stages=1, save_dir="/tmp/ugpg_t1")
     h = tr.history
@@ -59,7 +62,7 @@ def test_stage1_actually_learns(loaders):
 
 def test_checkpoint_roundtrip(tmp_path, loaders):
     train, val = loaders
-    cfgs = {1: {"resolution": 32, "epochs_per_stage": 1, "lr": 3e-4}}
+    cfgs = {1: {"resolution": 16, "epochs_per_stage": 1, "lr": 3e-4}}
     tr = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
     tr.train_progressive(train, val, max_stages=1, save_dir=tmp_path)
 

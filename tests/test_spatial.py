@@ -49,7 +49,7 @@ def _perturbed(variables, rng):
     return jax.tree_util.tree_map_with_path(bump, variables)
 
 
-@pytest.mark.parametrize("stage,res", [(1, 32), (2, 64), (3, 128), (4, 256)])
+@pytest.mark.parametrize("stage,res", [(1, 32), (2, 64), (3, 64), (4, 128)])
 def test_spatial_matches_unsharded_all_stages(rng, stage, res):
     module, variables = _init(stage, res)
     variables = _perturbed(variables, rng)
@@ -65,25 +65,25 @@ def test_spatial_matches_unsharded_all_stages(rng, stage, res):
 def test_spatial_8way_stage4(rng):
     module, variables = _init(4, 256)
     variables = _perturbed(variables, rng)
-    x = jnp.asarray(rng.standard_normal((1, 512, 512, 3), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 256, 256, 3), dtype=np.float32))
     want = np.asarray(module.apply(variables, x, False))
     got = np.asarray(spatial_stage_infer(variables, x, 4, _mesh(8)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_spatial_multiclass_heads(rng):
-    module, variables = _init(3, 128, num_classes=3)
-    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
+    module, variables = _init(3, 64, num_classes=3)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3), dtype=np.float32))
     want = np.asarray(module.apply(variables, x, False))
-    got = np.asarray(spatial_stage_infer(variables, x, 3, _mesh(4)))
-    assert got.shape == (1, 128, 128, 3)
+    got = np.asarray(spatial_stage_infer(variables, x, 3, _mesh(2)))
+    assert got.shape == (1, 64, 64, 3)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_spatial_predict_outputs(rng):
-    _, variables = _init(4, 256)
-    x = jnp.asarray(rng.standard_normal((1, 256, 256, 3), dtype=np.float32))
-    preds, probs, unc = spatial_predict(variables, x, _mesh(4))
+    _, variables = _init(4, 128)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
+    preds, probs, unc = spatial_predict(variables, x, _mesh(2))
     preds, probs, unc = map(np.asarray, (preds, probs, unc))
     assert set(np.unique(preds)).issubset({0.0, 1.0})
     assert probs.min() >= 0.0 and probs.max() <= 1.0
@@ -98,11 +98,11 @@ def test_spatial_rejects_indivisible_height(rng):
 
 
 def test_spatial_bf16_path_close(rng):
-    module, variables = _init(4, 256)
-    x = jnp.asarray(rng.standard_normal((1, 256, 256, 3), dtype=np.float32))
+    module, variables = _init(4, 128)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
     want = np.asarray(module.apply(variables, x, False))
     got = np.asarray(
-        spatial_stage_infer(variables, x, 4, _mesh(4), dtype=jnp.bfloat16)
+        spatial_stage_infer(variables, x, 4, _mesh(2), dtype=jnp.bfloat16)
     )
     # bf16 compute path: loose tolerance, but must track the f32 forward
     np.testing.assert_allclose(got, want, rtol=0.15, atol=0.15)

@@ -24,7 +24,7 @@ def _state(module, res, tx, seed=0):
 
 
 def test_stage1_train_step_learns():
-    images, masks = disk_dataset(num_samples=16, image_size=32)
+    images, masks = disk_dataset(num_samples=8, image_size=32)
     tx = torch_rmsprop(3e-4, weight_decay=1e-4)
     module = PGUNet1(num_classes=1)
     state = _state(module, 32, tx)

@@ -82,7 +82,7 @@ def test_trainer_writes_training_log(tmp_path):
 
     images, masks = disk_dataset(num_samples=8, image_size=32, seed=5)
     loader = ArrayLoader(images, masks, batch_size=4)
-    cfgs = {1: {"resolution": 32, "epochs_per_stage": 2, "lr": 3e-4}}
+    cfgs = {1: {"resolution": 16, "epochs_per_stage": 2, "lr": 3e-4}}
     tr = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
     tr.train_progressive(loader, loader, max_stages=1, save_dir=tmp_path)
     rows = list(csv.DictReader(open(tmp_path / "training_log.csv")))

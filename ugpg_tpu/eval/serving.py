@@ -256,6 +256,9 @@ class Predictor:
 
         # AOT compile one executable per bucket (resize + scale fused in):
         # no first-request latency
+        self._compile_buckets(entry, res, in_dtype)
+
+    def _compile_buckets(self, entry, res, in_dtype) -> None:
         self._compiled = {}
         for b in self.buckets:
             shape = jax.ShapeDtypeStruct((b, res, res, 3), in_dtype)
