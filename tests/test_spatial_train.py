@@ -1,0 +1,155 @@
+"""Spatially-sharded TRAINING == the unsharded train step.
+
+make_spatial_train_step runs the uncertainty-guided step at native
+resolution with H (and W) sharded over the mesh: halo-exchange convs
+(forward and transposed backward), global-batch BN via psum, global-mean
+loss/metrics.  On identical batches it must reproduce
+train.steps.make_seg_train_step (augment=False, input already at the step
+resolution so the in-graph resize is the identity) to fp tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ugpg_tpu.models.pgunet import STAGE_MODELS
+from ugpg_tpu.parallel.spatial import (
+    make_spatial_eval_step,
+    make_spatial_train_step,
+)
+from ugpg_tpu.train.optim import torch_rmsprop
+from ugpg_tpu.train.steps import TrainState, make_seg_eval_step, make_seg_train_step
+
+
+def _mesh(n_h: int, n_w: int = 1) -> Mesh:
+    devs = np.asarray(jax.devices()[: n_h * n_w])
+    if n_w > 1:
+        return Mesh(devs.reshape(n_h, n_w), axis_names=("data", "model"))
+    return Mesh(devs, axis_names=("data",))
+
+
+def _init(stage, res, seed=0):
+    module = STAGE_MODELS[stage](num_classes=1)
+    v = module.init(jax.random.key(seed), jnp.zeros((1, res, res, 3)), False)
+    return module, v
+
+
+def _batch(rng, n, res):
+    return (
+        rng.random((n, res, res, 3), dtype=np.float32),
+        (rng.random((n, res, res, 1)) > 0.6).astype(np.float32),
+    )
+
+
+def _ref_step_metrics(module, v, batch, stage, res, prev=None, steps=1):
+    """Unsharded reference trajectory via make_seg_train_step."""
+    tx = torch_rmsprop(3e-4, weight_decay=1e-4)
+    state = TrainState.create(v, tx)
+    prev_module, prev_v, prev_res = prev or (None, {}, None)
+    step = make_seg_train_step(
+        module, tx, stage, res, prev_module=prev_module,
+        prev_resolution=prev_res, donate=False, augment=False,
+    )
+    m = None
+    for _ in range(steps):
+        state, m = step(state, prev_v, batch, jnp.asarray(5.0), jax.random.key(0))
+    return state, m
+
+
+def _spatial_step_metrics(v, batch, stage, mesh, w_axis=None, prev=None,
+                          steps=1):
+    tx = torch_rmsprop(3e-4, weight_decay=1e-4)
+    state = TrainState.create(v, tx)
+    prev_stage, prev_v = prev or (None, {})
+    step = make_spatial_train_step(
+        stage, mesh, tx, w_axis=w_axis, prev_stage=prev_stage,
+    )
+    m = None
+    for _ in range(steps):
+        state, m = step(state, prev_v, batch, 5.0)
+    return state, m
+
+
+_KEYS = ("final_loss", "base_loss", "dice", "accuracy",
+         "uncertainty_weight_mean", "uncertainty_weight_std")
+
+
+def _assert_metrics_close(got, want, rtol=2e-4, atol=1e-5):
+    for k in _KEYS:
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=rtol, atol=atol, err_msg=k
+        )
+
+
+def test_spatial_train_stage1_matches_unsharded(rng):
+    module, v = _init(1, 32)
+    batch = _batch(rng, 2, 32)
+    s_ref, m_ref = _ref_step_metrics(module, v, batch, 1, 32)
+    s_sp, m_sp = _spatial_step_metrics(v, batch, 1, _mesh(2))
+    _assert_metrics_close(m_sp, m_ref)
+    # BN running stats: global-batch semantics must match exactly-ish
+    a = np.asarray(s_ref.batch_stats["inc"]["conv"]["bn1"]["mean"])
+    b = np.asarray(s_sp.batch_stats["inc"]["conv"]["bn1"]["mean"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # params after one RMSprop update (first step ~ sign descent: loose max)
+    pa = np.asarray(s_ref.params["inc"]["conv"]["conv1"]["kernel"])
+    pb = np.asarray(s_sp.params["inc"]["conv"]["conv1"]["kernel"])
+    assert np.mean(np.abs(pa - pb)) < 1e-4
+
+
+def test_spatial_train_stage2_uncertainty_matches_unsharded(rng):
+    """Stage 2 with the frozen stage-1 uncertainty source, 2-D (2x2) grid."""
+    m1, v1 = _init(1, 32, seed=0)
+    m2, v2 = _init(2, 64, seed=1)
+    batch = _batch(rng, 2, 64)
+    _, m_ref = _ref_step_metrics(
+        m2, v2, batch, 2, 64, prev=(m1, v1, 32)
+    )
+    _, m_sp = _spatial_step_metrics(
+        v2, batch, 2, _mesh(2, 2), w_axis="model", prev=(1, v1)
+    )
+    assert float(m_sp["uncertainty_weight_mean"]) > 0
+    _assert_metrics_close(m_sp, m_ref)
+
+
+def test_spatial_train_multi_step_trajectory(rng):
+    """3 RMSprop steps stay coupled (loss falls identically-ish)."""
+    module, v = _init(1, 32, seed=2)
+    batch = _batch(rng, 4, 32)
+    _, m_ref = _ref_step_metrics(module, v, batch, 1, 32, steps=3)
+    _, m_sp = _spatial_step_metrics(v, batch, 1, _mesh(2), steps=3)
+    np.testing.assert_allclose(
+        float(m_sp["final_loss"]), float(m_ref["final_loss"]), rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        float(m_sp["dice"]), float(m_ref["dice"]), rtol=5e-3, atol=1e-3
+    )
+
+
+def test_spatial_eval_step_matches_unsharded(rng):
+    m1, v1 = _init(1, 32, seed=0)
+    m2, v2 = _init(2, 64, seed=1)
+    batch = _batch(rng, 2, 64)
+    ref = make_seg_eval_step(m2, 2, 64, prev_module=m1, prev_resolution=32)(
+        v2, v1, batch, jnp.asarray(5.0)
+    )
+    got = make_spatial_eval_step(2, _mesh(2), prev_stage=1)(
+        v2, v1, batch, 5.0
+    )
+    _assert_metrics_close(got, ref)
+
+
+def test_spatial_train_rejects_indivisible(rng):
+    tx = torch_rmsprop(3e-4)
+    _, v = _init(1, 32)
+    state = TrainState.create(v, tx)
+    step = make_spatial_train_step(1, _mesh(2), tx)
+    x = np.zeros((1, 36, 36, 3), np.float32)  # 36 % (2*2) == 0 but 36 % 4 ok
+    y = np.zeros((1, 36, 36, 1), np.float32)
+    step(state, {}, (x, y), 5.0)  # 36 divisible by 2 shards * 2^1 -> fine
+    bad = np.zeros((1, 34, 34, 3), np.float32)  # 34 % 4 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, {}, (bad, bad[..., :1]), 5.0)

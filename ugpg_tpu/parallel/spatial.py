@@ -1,4 +1,4 @@
-"""Spatially-sharded (halo-exchange) inference: whole-slide images over ICI.
+"""Spatially-sharded (halo-exchange) inference AND training over ICI.
 
 NEW capability beyond the reference (SURVEY.md §2h lists SP as absent /
 "only if scaling beyond single-chip images"): the reference downsizes every
@@ -41,6 +41,14 @@ unsharded model on the same padded image and cropping.
 Numerics match the unsharded ``PGUNetN.apply(..., train=False)`` to f32
 round-off (the per-axis resize einsum is evaluated against an identical
 weight matrix, sliced per shard); see tests/test_spatial.py.
+
+TRAINING at native resolution: ``make_spatial_train_step`` /
+``make_spatial_eval_step`` run the full uncertainty-guided train step
+(frozen prev-stage forward + weighted BCE + grads + optimizer) on the same
+grid — global-batch BatchNorm via psum, halo exchange differentiated by
+shard_map's transpose, loss/metrics as global means.  Reproduces the
+unsharded ``train.steps.make_seg_train_step`` numerics on identical batches
+(tests/test_spatial_train.py).
 """
 
 from __future__ import annotations
@@ -53,7 +61,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ugpg_tpu.models.blocks import BN_EPS
+from ugpg_tpu.models.blocks import BN_EPS, BN_MOMENTUM
 from ugpg_tpu.ops.resize import _bilinear_ac_matrix
 
 __all__ = [
@@ -62,6 +70,8 @@ __all__ = [
     "spatial_predict",
     "pad_to_divisible",
     "spatial_divisor",
+    "make_spatial_train_step",
+    "make_spatial_eval_step",
 ]
 
 
@@ -137,6 +147,40 @@ def _double_conv(x, p, s, grid: _Grid, dtype):
     x = jax.nn.relu(_bn_eval(x, p["bn1"], s["bn1"], dtype))
     x = _conv3x3_halo(x, p["conv2"]["kernel"], p["conv2"]["bias"], grid, dtype)
     return jax.nn.relu(_bn_eval(x, p["bn2"], s["bn2"], dtype))
+
+
+def _bn_train(x, params, running, grid: _Grid, dtype):
+    """Train-mode BN with GLOBAL batch statistics (psum over the grid axes).
+
+    Matches models/blocks.TorchBatchNorm on the full unsharded image
+    exactly: biased variance normalizes, the unbiased (Bessel-corrected)
+    estimate updates ``running_var``, momentum 0.9 EMA, f32 math.  Equal
+    per-shard extents make pmean-of-local-means the global mean.
+    """
+    axes = (grid.h_axis,) + ((grid.w_axis,) if grid.w_size > 1 else ())
+    xf = x.astype(jnp.float32)
+    mean = jax.lax.pmean(jnp.mean(xf, axis=(0, 1, 2)), axes)
+    mean2 = jax.lax.pmean(jnp.mean(jnp.square(xf), axis=(0, 1, 2)), axes)
+    n = float(x.shape[0] * x.shape[1] * x.shape[2] * grid.h_size * grid.w_size)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    unbiased = var * (n / max(n - 1.0, 1.0))
+    m = BN_MOMENTUM
+    new_stats = {
+        "mean": m * running["mean"] + (1.0 - m) * mean,
+        "var": m * running["var"] + (1.0 - m) * unbiased,
+    }
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (xf - mean) * inv + params["bias"]
+    return y.astype(dtype if dtype is not None else x.dtype), new_stats
+
+
+def _double_conv_train(x, p, s, grid: _Grid, dtype):
+    x = _conv3x3_halo(x, p["conv1"]["kernel"], p["conv1"]["bias"], grid, dtype)
+    x, n1 = _bn_train(x, p["bn1"], s["bn1"], grid, dtype)
+    x = jax.nn.relu(x)
+    x = _conv3x3_halo(x, p["conv2"]["kernel"], p["conv2"]["bias"], grid, dtype)
+    x, n2 = _bn_train(x, p["bn2"], s["bn2"], grid, dtype)
+    return jax.nn.relu(x), {"bn1": n1, "bn2": n2}
 
 
 def _max_pool2(x):
@@ -222,17 +266,15 @@ def _head(x, p):
     )
 
 
-def _stage_forward(stage: int, params, stats, x, grid: _Grid, dtype):
-    dc = lambda t, name: _double_conv(
-        t, params[name]["conv"], stats[name]["conv"], grid, dtype
-    )
+def _stage_topology(stage: int, params, x, dc, grid: _Grid):
+    """PGUNet stage topology over an abstract DoubleConv ``dc(t, name)`` —
+    shared by the eval (running-stat BN) and train (global-batch BN)
+    forwards; heads/pool/resize carry no train/eval state."""
     up2 = lambda t: _resize_halo(
         t, (t.shape[1] * grid.h_size * 2, t.shape[2] * grid.w_size * 2), grid
     )
     up_to = lambda o, hw: _resize_halo(o, hw, grid)
 
-    if dtype is not None:
-        x = x.astype(dtype)
     if stage == 1:
         x1 = dc(x, "inc")
         x2 = dc(_max_pool2(x1), "down4")
@@ -276,6 +318,36 @@ def _stage_forward(stage: int, params, stats, x, grid: _Grid, dtype):
         o = o + up_to(_head(x8, params["outc3"]["conv"]), hw)
         return o + _head(x9, params["outc4"]["conv"])
     raise ValueError(f"stage must be 1..4, got {stage}")
+
+
+def _stage_forward(stage: int, params, stats, x, grid: _Grid, dtype):
+    """Eval-mode forward (running-stat BN), matching
+    ``PGUNetN.apply(..., train=False)``."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    dc = lambda t, name: _double_conv(
+        t, params[name]["conv"], stats[name]["conv"], grid, dtype
+    )
+    return _stage_topology(stage, params, x, dc, grid)
+
+
+def _stage_forward_train(stage: int, params, stats, x, grid: _Grid, dtype):
+    """Train-mode forward: global-batch BN via psum over the grid; returns
+    (logits, new_batch_stats) with the same tree structure as the
+    ``batch_stats`` collection (matching ``mutable=['batch_stats']``)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    collected: dict[str, Any] = {}
+
+    def dc(t, name):
+        y, ns = _double_conv_train(
+            t, params[name]["conv"], stats[name]["conv"], grid, dtype
+        )
+        collected[name] = {"conv": ns}
+        return y
+
+    logits = _stage_topology(stage, params, x, dc, grid)
+    return logits, collected
 
 
 def _n_pools(stage: int) -> int:
@@ -380,3 +452,235 @@ def spatial_predict(
         h, w = orig
         preds, probs, unc = (t[:, :h, :w] for t in (preds, probs, unc))
     return preds, probs, unc
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded TRAINING: native-resolution train/eval steps.
+#
+# NEW capability past both the reference and the DP/TP trainers (SURVEY §2h,
+# §5 "long-context analog"): train on whole-slide images too large for one
+# chip's activation memory by sharding H (and W) over the mesh.  The halo
+# exchange runs in the forward AND — via autodiff of shard_map/ppermute —
+# the backward pass (the transpose of a halo push is the halo pull of the
+# cotangent; XLA schedules both over ICI).  BatchNorm uses GLOBAL batch
+# statistics (psum over the grid), and loss/metrics are global means, so a
+# spatial step reproduces the unsharded ``make_seg_train_step`` numerics on
+# the same batch (tests/test_spatial_train.py) — the grid is a memory/
+# throughput layout choice, not a semantics change.
+# ---------------------------------------------------------------------------
+
+
+def _check_divisible(stage, x, h_size, w_size):
+    pools = _n_pools(stage)
+    if x.shape[1] % (h_size * 2**pools) or x.shape[2] % (w_size * 2**pools):
+        raise ValueError(
+            f"(H, W)={x.shape[1:3]} not divisible by shards*2^pools "
+            f"({h_size}*{2**pools}, {w_size}*{2**pools}); use pad_to_divisible"
+        )
+
+
+def _spatial_unc_map(prev_stage, prev_variables, x, grid: _Grid, dtype):
+    """Frozen prev-stage uncertainty map on the grid (ref: UG_unet.py:19-59):
+    downsample to the previous stage's scale (x0.5 — taps stay in the 1-px
+    halo), eval-mode forward, sigmoid, upsample, 1-2|P-.5|, stop_gradient."""
+    hw = (x.shape[1] * grid.h_size, x.shape[2] * grid.w_size)
+    x_prev = _resize_halo(
+        x.astype(jnp.float32), (hw[0] // 2, hw[1] // 2), grid
+    )
+    prev_logits = _stage_forward(
+        prev_stage, prev_variables["params"], prev_variables["batch_stats"],
+        x_prev, grid, dtype,
+    )
+    probs_up = _resize_halo(
+        jax.nn.sigmoid(prev_logits.astype(jnp.float32)), hw, grid
+    )
+    return jax.lax.stop_gradient(1.0 - 2.0 * jnp.abs(probs_up - 0.5))
+
+
+def _spatial_metrics(logits, y, unc_map, axes):
+    """Global (psum'd) train metrics matching train/steps.py exactly:
+    smooth=1 per-sample Dice, pixel accuracy, uncertainty mean/std."""
+    preds = (jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5).astype(
+        jnp.float32
+    )
+    b = preds.shape[0]
+    p2 = preds.reshape(b, -1)
+    t2 = y.astype(jnp.float32).reshape(b, -1)
+    inter = jax.lax.psum(jnp.sum(p2 * t2, axis=1), axes)
+    sp = jax.lax.psum(jnp.sum(p2, axis=1), axes)
+    st = jax.lax.psum(jnp.sum(t2, axis=1), axes)
+    dice = jnp.mean((2.0 * inter + 1.0) / (sp + st + 1.0))
+    acc = jax.lax.pmean(jnp.mean((p2 == t2).astype(jnp.float32)), axes)
+    if unc_map is None:
+        z = jnp.zeros((), jnp.float32)
+        unc_mean = unc_std = z
+    else:
+        unc_mean = jax.lax.pmean(jnp.mean(unc_map), axes)
+        # center BEFORE the second moment: the raw E[x^2]-E[x]^2 form
+        # cancels catastrophically in f32 when the map is near-constant
+        c2 = jax.lax.pmean(jnp.mean(jnp.square(unc_map - unc_mean)), axes)
+        unc_std = jnp.sqrt(jnp.maximum(c2, 0.0))
+    return dice, acc, unc_mean, unc_std
+
+
+def make_spatial_train_step(
+    stage: int,
+    mesh: Mesh,
+    tx,
+    axis: str = "data",
+    w_axis: str | None = None,
+    prev_stage: int | None = None,
+    alpha: float = 1.0,
+    dtype: Any = None,
+):
+    """Build a jitted native-resolution spatially-sharded train step.
+
+    ``step(state, prev_variables, batch, pos_weight) -> (state, metrics)``
+    with ``state`` a ``train.steps.TrainState``, ``batch = (images NHWC,
+    masks NHW1)`` at NATIVE resolution — both spatial extents divisible per
+    ``spatial_divisor(stage, ...)`` (``pad_to_divisible`` for arbitrary
+    sizes) — and ``prev_variables`` the frozen previous-stage tree
+    ({} for stage 1).  Differences from ``make_seg_train_step``, by design:
+    no in-graph resize to the stage resolution (native-res training is the
+    point) and no on-device augmentation (rotations gather across shard
+    boundaries; use the offline patch+aug pipeline, cli/augment_monuseg).
+    Metrics match train/steps.py: same loss (ref: UG_unet.py:61-94), Dice,
+    accuracy, uncertainty stats — as global psums.
+    """
+    import optax
+
+    h_size = mesh.shape[axis]
+    w_size = mesh.shape[w_axis] if w_axis else 1
+    grid = _Grid(axis, h_size, w_axis, w_size)
+    spec = P(None, axis, w_axis) if w_axis else P(None, axis)
+    axes = (axis,) + ((w_axis,) if w_axis else ())
+    use_unc = stage > 1 and prev_stage is not None
+
+    def local(params, batch_stats, prev_variables, x, y, pos_weight):
+        unc_map = (
+            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype)
+            if use_unc else None
+        )
+        logits, new_stats = _stage_forward_train(
+            stage, params, batch_stats, x, grid, dtype
+        )
+        from ugpg_tpu.ops.losses import bce_with_logits
+
+        pixel = bce_with_logits(logits, y, pos_weight)
+        base = jax.lax.pmean(jnp.mean(pixel), axes)
+        if unc_map is None:
+            final = base
+        else:
+            w = jax.lax.stop_gradient(1.0 + alpha * unc_map)
+            final = jax.lax.pmean(jnp.mean(pixel * w), axes)
+        dice, acc, unc_mean, unc_std = _spatial_metrics(logits, y, unc_map, axes)
+        aux = {
+            "new_stats": new_stats,
+            "metrics": {
+                "base_loss": base,
+                "dice": dice,
+                "accuracy": acc,
+                "uncertainty_weight_mean": unc_mean,
+                "uncertainty_weight_std": unc_std,
+            },
+        }
+        return final, aux
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), spec, spec, P()),
+        out_specs=(P(), P()),
+    )
+
+    def step(state, prev_variables, batch, pos_weight):
+        x, y = batch
+        _check_divisible(stage, x, h_size, w_size)
+
+        def loss_fn(params):
+            return sharded(
+                params, state.batch_stats, prev_variables,
+                jnp.asarray(x), jnp.asarray(y),
+                jnp.asarray(pos_weight, jnp.float32),
+            )
+
+        (final, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux["metrics"], final_loss=final)
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=aux["new_stats"],
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return jax.jit(step)
+
+
+def make_spatial_eval_step(
+    stage: int,
+    mesh: Mesh,
+    axis: str = "data",
+    w_axis: str | None = None,
+    prev_stage: int | None = None,
+    alpha: float = 1.0,
+    dtype: Any = None,
+):
+    """Jitted native-resolution validation step (eval-mode BN, no update):
+    ``step(variables, prev_variables, batch, pos_weight) -> metrics`` with
+    the same metric dict as ``make_spatial_train_step``."""
+    h_size = mesh.shape[axis]
+    w_size = mesh.shape[w_axis] if w_axis else 1
+    grid = _Grid(axis, h_size, w_axis, w_size)
+    spec = P(None, axis, w_axis) if w_axis else P(None, axis)
+    axes = (axis,) + ((w_axis,) if w_axis else ())
+    use_unc = stage > 1 and prev_stage is not None
+
+    def local(variables, prev_variables, x, y, pos_weight):
+        unc_map = (
+            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype)
+            if use_unc else None
+        )
+        logits = _stage_forward(
+            stage, variables["params"], variables["batch_stats"], x, grid, dtype
+        )
+        from ugpg_tpu.ops.losses import bce_with_logits
+
+        pixel = bce_with_logits(logits, y, pos_weight)
+        base = jax.lax.pmean(jnp.mean(pixel), axes)
+        if unc_map is None:
+            final = base
+        else:
+            w = jax.lax.stop_gradient(1.0 + alpha * unc_map)
+            final = jax.lax.pmean(jnp.mean(pixel * w), axes)
+        dice, acc, unc_mean, unc_std = _spatial_metrics(logits, y, unc_map, axes)
+        return {
+            "final_loss": final,
+            "base_loss": base,
+            "dice": dice,
+            "accuracy": acc,
+            "uncertainty_weight_mean": unc_mean,
+            "uncertainty_weight_std": unc_std,
+        }
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), spec, spec, P()),
+        out_specs=P(),
+    )
+
+    @jax.jit
+    def step(variables, prev_variables, batch, pos_weight):
+        x, y = batch
+        _check_divisible(stage, x, h_size, w_size)
+        return sharded(
+            variables, prev_variables, jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(pos_weight, jnp.float32),
+        )
+
+    return step
