@@ -1,0 +1,102 @@
+"""Exported StableHLO serving artifacts == the live Predictor.
+
+Predictor.export writes per-bucket StableHLO modules (weights baked in) +
+manifest; ExportedPredictor serves them with no model code or checkpoint.
+Segmentation outputs are bit-identical on the exporting platform (the cls
+MLP head's dots track to ~1e-4 rel — lowering-choice noise), and the
+routing / coercion semantics (ragged batches, uint8 requests) survive the
+round trip.  Exports here use platforms=("cpu",) — the multi-platform ("cpu",
+"tpu") default is exercised once (it only adds a second lowering).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ugpg_tpu.eval.serving import ExportedPredictor, Predictor
+from ugpg_tpu.io.checkpoint import save_checkpoint
+from ugpg_tpu.models.pgunet import STAGE_MODELS
+
+
+@pytest.fixture(scope="module")
+def seg_ckpt(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    module = STAGE_MODELS[1](num_classes=1)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(1), x, False)
+    ckpt = tmp_path_factory.mktemp("ck") / "ug_pgunet_stage1_best"
+    save_checkpoint(ckpt, variables, metadata={"stage": 1})
+    return str(ckpt), np.asarray(x)
+
+
+def test_export_roundtrip_bit_identical(tmp_path, seg_ckpt):
+    ckpt, x = seg_ckpt
+    p = Predictor(ckpt, buckets=(2, 4), dtype=None)
+    art = p.export(tmp_path / "art", platforms=("cpu",))
+    q = ExportedPredictor(art)
+
+    batch = np.concatenate([x, x[::-1]])  # 4 images
+    for req in (batch, batch[:3]):  # exact bucket + ragged routing
+        got = q(req)
+        want = p(req)
+        assert len(got) == len(want) == 3
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    assert q.manifest["stage"] == 1
+    assert q.manifest["task_type"] == "segmentation"
+    assert q.buckets == (2, 4) and q.resolution == 32
+
+
+def test_export_uint8_requests(tmp_path, seg_ckpt):
+    ckpt, x = seg_ckpt
+    p = Predictor(ckpt, buckets=(2,), dtype=None, input_dtype=jnp.uint8)
+    q = ExportedPredictor(p.export(tmp_path / "a8", platforms=("cpu",)))
+    raw = (x * 255).astype(np.uint8)
+    got = q(raw)
+    want = p(raw)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert q.input_dtype == jnp.dtype(jnp.uint8)
+
+
+def test_export_classification(tmp_path):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    rng = np.random.default_rng(5)
+    module = HerlevClassificationModel(stage=1, num_classes=5)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    variables = module.init(jax.random.key(2), x, False)
+    ckpt = tmp_path / "herlev_stage1_best"
+    save_checkpoint(ckpt, variables, metadata={"stage": 1})
+
+    p = Predictor(str(ckpt), task_type="classification", num_classes=5,
+                  buckets=(2,), dtype=None)
+    q = ExportedPredictor(p.export(tmp_path / "acls", platforms=("cpu",)))
+    labels_q, probs_q = q(np.asarray(x))
+    labels_p, probs_p = p(np.asarray(x))
+    np.testing.assert_array_equal(labels_q, labels_p)
+    # the MLP head's dots pick up different (legal) lowering choices in the
+    # deserialized module than in the live jit on CPU — probs track to
+    # ~1e-4 rel; the conv path (segmentation test above) is bit-identical
+    np.testing.assert_allclose(
+        np.asarray(probs_q), np.asarray(probs_p), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_export_multiplatform_cli(tmp_path, seg_ckpt):
+    """The CLI exports a cpu+tpu artifact from this CPU host (cross-platform
+    lowering) and ExportedPredictor serves it here."""
+    from ugpg_tpu.cli.export_model import main
+
+    ckpt, x = seg_ckpt
+    out = tmp_path / "cli_art"
+    main(["--model", ckpt, "--out", str(out), "--buckets", "2"])
+    q = ExportedPredictor(out)
+    assert q.manifest["platforms"] == ["cpu", "tpu"]
+    preds, probs, unc = q(x)
+    assert preds.shape == (2, 32, 32, 1)
+    assert 0.0 <= float(np.min(np.asarray(probs)))
+    assert float(np.max(np.asarray(probs))) <= 1.0

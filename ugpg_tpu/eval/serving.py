@@ -42,7 +42,12 @@ from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners
 from ugpg_tpu.uncertainty import binary_uncertainty
 
-__all__ = ["Predictor", "BatchingServer", "ServingRegistry"]
+__all__ = [
+    "Predictor",
+    "ExportedPredictor",
+    "BatchingServer",
+    "ServingRegistry",
+]
 
 
 class Predictor:
@@ -256,6 +261,7 @@ class Predictor:
 
         # AOT compile one executable per bucket (resize + scale fused in):
         # no first-request latency
+        self._entry = entry
         self._compile_buckets(entry, res, in_dtype)
 
     def _compile_buckets(self, entry, res, in_dtype) -> None:
@@ -322,6 +328,47 @@ class Predictor:
             for i in range(self._n_outputs)
         )
 
+    def export(self, path, platforms: Sequence[str] = ("cpu", "tpu")):
+        """Serialize this predictor as a self-contained serving artifact.
+
+        Writes one multi-platform StableHLO module per bucket — weights
+        (incl. folded-BN or int8-quantized parameters) baked in as
+        constants — plus a ``manifest.json``.  ``ExportedPredictor(path)``
+        serves the artifact with NO model code, checkpoint, or flax
+        dependency: ``jax.export``'s versioned StableHLO carries the
+        compatibility guarantees, and the default ``platforms`` lower the
+        same artifact for both CPU and TPU regardless of the exporting
+        host.  Outputs are bit-identical to this predictor's
+        (tests/test_export.py).
+        """
+        import json
+        from pathlib import Path
+
+        from jax import export as jexport
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        variables, entry = self.variables, self._entry
+        fn = jax.jit(lambda raw: entry(variables, raw))
+        res = self.resolution
+        for b in self.buckets:
+            shape = jax.ShapeDtypeStruct((b, res, res, 3), self.input_dtype)
+            exp = jexport.export(fn, platforms=list(platforms))(shape)
+            (path / f"bucket_{b}.stablehlo").write_bytes(exp.serialize())
+        manifest = {
+            "format_version": 1,
+            "task_type": self.task_type,
+            "stage": self.stage,
+            "resolution": self.resolution,
+            "buckets": list(self.buckets),
+            "input_dtype": self.input_dtype.name,
+            "n_outputs": self._n_outputs,
+            "platforms": list(platforms),
+            "jax_version": jax.__version__,
+        }
+        (path / "manifest.json").write_text(json.dumps(manifest, indent=1))
+        return path
+
     def stream(self, batches: Iterator[np.ndarray], prefetch: int = 2):
         """Yield predictions for an iterator of image batches, with the
         host->HBM copy of batch k+1 overlapped with compute of batch k."""
@@ -344,6 +391,60 @@ class Predictor:
         ):
             outs = self._compiled[top](self.variables, device_batch)
             yield tuple(np.asarray(o[: int(n)]) for o in outs)
+
+
+class ExportedPredictor:
+    """Serve a ``Predictor.export`` artifact — no model code or checkpoint.
+
+    Loads the per-bucket StableHLO modules (weights baked in) and exposes
+    the same request surface as ``Predictor``: ragged batches route to the
+    smallest bucket that fits, padding is stripped from responses, uint8 /
+    float32 requests are coerced to the exported signature.  Works on any
+    platform the artifact was exported for (default: cpu + tpu).
+    """
+
+    def __init__(self, path):
+        import json
+        from pathlib import Path
+
+        from jax import export as jexport
+
+        path = Path(path)
+        manifest = json.loads((path / "manifest.json").read_text())
+        if manifest.get("format_version") != 1:
+            raise ValueError(
+                f"unsupported artifact format: {manifest.get('format_version')}"
+            )
+        self.manifest = manifest
+        self.task_type = manifest["task_type"]
+        self.stage = manifest["stage"]
+        self.resolution = manifest["resolution"]
+        self.buckets = tuple(manifest["buckets"])
+        self.batch_size = self.buckets[-1]
+        self.input_dtype = jnp.dtype(manifest["input_dtype"])
+        self._n_outputs = manifest["n_outputs"]
+        self._fns = {
+            b: jexport.deserialize(
+                (path / f"bucket_{b}.stablehlo").read_bytes()
+            )
+            for b in self.buckets
+        }
+
+    # same routing/coercion semantics as the live predictor (they only
+    # touch resolution / input_dtype / buckets, all restored from the
+    # manifest)
+    _bucket_for = Predictor._bucket_for
+    _coerce = Predictor._coerce
+    __call__ = Predictor.__call__
+
+    def _run_padded(self, chunk: np.ndarray):
+        n = chunk.shape[0]
+        bucket = self._bucket_for(n)
+        if n < bucket:
+            pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        outs = self._fns[bucket].call(jnp.asarray(chunk))
+        return tuple(o[:n] for o in outs)
 
 
 class BatchingServer:
