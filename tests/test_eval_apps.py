@@ -152,6 +152,28 @@ def test_train_monuseg_cli_with_mesh(tmp_path, rng):
     assert (out / "ug_pgunet_stage1_best" / "variables.msgpack").exists()
 
 
+def test_train_monuseg_cli_native_finetune(tmp_path, rng):
+    """--native_finetune: progressive stage 1, then a spatially-sharded
+    native-resolution fine-tune epoch through the CLI, writing the _native
+    checkpoint."""
+    from ugpg_tpu.cli.train_monuseg import main as train_main
+
+    root = write_monuseg_tree(tmp_path / "M4", n_train=2, n_val=2, size=48)
+    out = tmp_path / "out_native"
+    train_main([
+        "--data_dir", str(root), "--output_dir", str(out),
+        "--stages", "1", "--epochs", "1", "--batch_size", "2",
+        "--plain", "--mesh", "2,1",
+        "--native_finetune", "1", "--native_size", "48",
+    ])
+    ckpt = out / "ug_pgunet_stage1_native"
+    assert (ckpt / "variables.msgpack").exists()
+    import json as _json
+
+    meta = _json.loads((ckpt / "metadata.json").read_text())
+    assert meta["native_finetune"] is True and meta["stage"] == 1
+
+
 def test_train_and_test_herlev_cli_end_to_end(tmp_path):
     """Drive the full Herlev CLI loop: train 1 stage on a synthetic class
     tree, then evaluate the produced checkpoint with the test CLI."""

@@ -142,6 +142,36 @@ def test_spatial_eval_step_matches_unsharded(rng):
     _assert_metrics_close(got, ref)
 
 
+def test_finetune_native_learns_and_saves(tmp_path, rng):
+    """Trainer surface: finetune_native on a learnable disk dataset — loss
+    falls, dice rises, odd native sizes crop to the grid divisor, the
+    fine-tuned weights replace the stage's and a _native checkpoint lands."""
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.io.checkpoint import has_checkpoint
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    imgs, masks = disk_dataset(num_samples=4, image_size=50, seed=9)  # odd
+    loader = ArrayLoader(imgs, masks, batch_size=2)
+    tr = UncertaintyGuidedProgressiveTrainer(
+        stage_configs={
+            1: {"resolution": 16, "epochs_per_stage": 1, "lr": 3e-4},
+            2: {"resolution": 32, "epochs_per_stage": 1, "lr": 3e-4},
+        },
+        verbose=False,
+    )
+    tr._ensure_variables(1)  # frozen uncertainty source for stage 2
+    hist = tr.finetune_native(
+        loader, stage=2, epochs=3, mesh=_mesh(2), val_loader=loader,
+        save_dir=tmp_path,
+    )
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert hist["train_dice"][-1] > hist["train_dice"][0]
+    assert len(hist["val_dice"]) == 3
+    assert has_checkpoint(tmp_path / "ug_pgunet_stage2_native")
+    # fine-tuned weights are the trainer's stage-2 weights now
+    assert tr.variables[2]["params"] is tr._state.params
+
+
 def test_spatial_train_rejects_indivisible(rng):
     tx = torch_rmsprop(3e-4)
     _, v = _init(1, 32)

@@ -65,6 +65,17 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="fuse each epoch into one lax.scan program (one "
                         "dispatch + one metric fetch per epoch; same "
                         "trajectory as the per-step path)")
+    p.add_argument("--native_finetune", type=int, default=0, metavar="EPOCHS",
+                   help="after progressive training, fine-tune the last "
+                        "requested stage at NATIVE slide resolution, "
+                        "spatially sharded over --mesh (H over 'data'; add "
+                        "--native_w_axis to shard W over 'model' too)")
+    p.add_argument("--native_size", type=int, default=1000,
+                   help="dataset resolution for the native fine-tune phase "
+                        "(default 1000 = MoNuSeg full TIFF resolution)")
+    p.add_argument("--native_w_axis", action="store_true",
+                   help="2-D spatial grid for --native_finetune: W sharded "
+                        "over the 'model' mesh axis")
     p.add_argument("--scan_chunk_mb", type=int, default=1024,
                    help="cap (MiB) on the per-dispatch stacked-epoch size "
                         "under --scan_epochs; oversized epochs run as "
@@ -170,6 +181,30 @@ def main(argv=None):
         )
     except KeyboardInterrupt:
         print("Training interrupted by user")
+
+    if args.native_finetune:
+        if trainer.mesh is None:
+            raise SystemExit("--native_finetune requires --mesh")
+        from ugpg_tpu.data.loader import DataLoader
+
+        stage = max(config["stages"])
+        # whole slides: batch 1 per step — the spatial grid, not the batch
+        # axis, provides the parallelism at native resolution
+        ft_train = DataLoader(
+            MoNuSegDataset(config["data_dir"], image_size=args.native_size,
+                           split="train", augment=False),
+            batch_size=1, shuffle=True, seed=0,
+        )
+        ft_val = DataLoader(
+            MoNuSegDataset(config["data_dir"], image_size=args.native_size,
+                           split="val", augment=False),
+            batch_size=1,
+        )
+        trainer.finetune_native(
+            ft_train, stage=stage, epochs=args.native_finetune,
+            w_axis="model" if args.native_w_axis else None,
+            val_loader=ft_val, save_dir=config["output_dir"],
+        )
 
     cfg_path = Path(config["output_dir"]) / "config.json"
     cfg_path.parent.mkdir(parents=True, exist_ok=True)

@@ -573,6 +573,136 @@ class UncertaintyGuidedProgressiveTrainer:
         return self.history
 
     # ------------------------------------------------------------------
+    def finetune_native(
+        self,
+        train_loader: Iterable,
+        stage: int = 4,
+        epochs: int = 1,
+        mesh=None,
+        w_axis: str | None = None,
+        lr: float | None = None,
+        val_loader: Iterable | None = None,
+        save_dir: str | None = None,
+    ):
+        """Fine-tune one stage at NATIVE slide resolution, spatially sharded.
+
+        The progressive recipe trains at the 32→256 stage pyramid (the
+        reference additionally downsizes every slide to ≤256px,
+        ref: MoNuSegImprove/test_monuseg.py:164-201); this extra phase —
+        impossible single-device at whole-slide sizes — continues training
+        the stage on full-resolution batches with H (and, with ``w_axis``,
+        W) sharded over the mesh and 1-px halo exchange in both passes
+        (``parallel.spatial.make_spatial_train_step``: global-batch BN,
+        global-mean loss/metrics, torch-RMSprop).
+
+        Batches keep their native (H, W); each is cropped bottom/right to
+        the grid's divisibility constraint (cropped, not zero-padded: pad
+        pixels would contribute to the loss mean).  Uncertainty guidance
+        keeps the frozen previous stage as its source.  On return, the
+        fine-tuned weights replace ``self.variables[stage]`` (and are saved
+        to ``{save_dir}/ug_pgunet_stage{stage}_native`` when ``save_dir``
+        is given), so evaluation/serving pick them up directly.
+
+        Returns a history dict with per-epoch train/val means.
+        """
+        from ugpg_tpu.parallel.spatial import (
+            make_spatial_eval_step,
+            make_spatial_train_step,
+            spatial_divisor,
+        )
+
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is None:
+            raise ValueError(
+                "finetune_native needs a mesh (e.g. parallel.mesh.make_mesh)"
+            )
+        axis = "data"
+        prev_stage = stage - 1 if stage > 1 else None
+        tx = torch_rmsprop(
+            lr if lr is not None else self.stage_configs[stage]["lr"],
+            weight_decay=self.weight_decay,
+        )
+        variables = self._ensure_variables(stage)
+        state = TrainState.create(variables, tx)
+        prev_vars = self._prev_variables(stage)
+        step = make_spatial_train_step(
+            stage, mesh, tx, axis=axis, w_axis=w_axis,
+            prev_stage=prev_stage, alpha=self.uncertainty_alpha,
+        )
+        eval_step = (
+            make_spatial_eval_step(
+                stage, mesh, axis=axis, w_axis=w_axis,
+                prev_stage=prev_stage, alpha=self.uncertainty_alpha,
+            )
+            if val_loader is not None else None
+        )
+        h_div, w_div = spatial_divisor(stage, mesh, axis, w_axis)
+
+        def crop(images, masks):
+            images, masks = np.asarray(images), np.asarray(masks)
+            ch = (images.shape[1] // h_div) * h_div
+            cw = (images.shape[2] // w_div) * w_div
+            if ch == 0 or cw == 0:
+                raise ValueError(
+                    f"native size {images.shape[1:3]} smaller than the grid "
+                    f"divisor ({h_div}, {w_div})"
+                )
+            return images[:, :ch, :cw], masks[:, :ch, :cw]
+
+        hist: dict[str, list] = {
+            "train_loss": [], "train_dice": [], "val_loss": [], "val_dice": []
+        }
+        for epoch in range(epochs):
+            t0 = time.time()
+            acc = []
+            for batch in train_loader:
+                state, m = step(
+                    state, prev_vars, crop(*batch), self.pos_weight
+                )
+                acc.append(m)
+            tr_loss = float(np.mean([float(m["final_loss"]) for m in acc]))
+            tr_dice = float(np.mean([float(m["dice"]) for m in acc]))
+            hist["train_loss"].append(tr_loss)
+            hist["train_dice"].append(tr_dice)
+            msg = (
+                f"Native fine-tune stage {stage}, epoch {epoch + 1}/{epochs} "
+                f"({time.time() - t0:.2f}s) — loss {tr_loss:.4f}, "
+                f"dice {tr_dice:.4f}"
+            )
+            if eval_step is not None:
+                va = [
+                    eval_step(
+                        state.variables, prev_vars, crop(*b), self.pos_weight
+                    )
+                    for b in val_loader
+                ]
+                va_loss = float(np.mean([float(m["final_loss"]) for m in va]))
+                va_dice = float(np.mean([float(m["dice"]) for m in va]))
+                hist["val_loss"].append(va_loss)
+                hist["val_dice"].append(va_dice)
+                msg += f"; val loss {va_loss:.4f}, dice {va_dice:.4f}"
+            self._print(msg)
+
+        self.variables[stage] = state.variables
+        self._state = state
+        self._tx = tx
+        if save_dir is not None:
+            save_checkpoint(
+                Path(save_dir) / f"ug_pgunet_stage{stage}_native",
+                state.variables,
+                opt_state=state.opt_state,
+                metadata={
+                    "stage": stage,
+                    "native_finetune": True,
+                    "epochs": epochs,
+                    "uncertainty_alpha": self.uncertainty_alpha,
+                    "history": hist,
+                },
+                backend=self.checkpoint_backend,
+            )
+        return hist
+
+    # ------------------------------------------------------------------
     def _find_resume_point(self, save_path: Path):
         """Latest ``_last`` checkpoint -> (stage, epoch); restores earlier
         stages' weights (needed as frozen uncertainty sources)."""
