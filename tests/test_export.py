@@ -86,6 +86,25 @@ def test_export_classification(tmp_path):
     )
 
 
+def test_exported_predictor_drives_batching_server(tmp_path, seg_ckpt):
+    """The dynamic micro-batcher composes with exported artifacts (it only
+    needs __call__/batch_size/_coerce, all part of the exported surface)."""
+    from ugpg_tpu.eval.serving import BatchingServer
+
+    ckpt, x = seg_ckpt
+    p = Predictor(ckpt, buckets=(4,), dtype=None)
+    q = ExportedPredictor(p.export(tmp_path / "bs", platforms=("cpu",)))
+    server = BatchingServer(q, max_latency_ms=20.0)
+    try:
+        futures = [server.submit(x[i % 2]) for i in range(4)]
+        outs = [f.result(timeout=60) for f in futures]
+    finally:
+        server.close()
+    want = p(x[:1])
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(want[1][0]))
+
+
 def test_export_multiplatform_cli(tmp_path, seg_ckpt):
     """The CLI exports a cpu+tpu artifact from this CPU host (cross-platform
     lowering) and ExportedPredictor serves it here."""
