@@ -86,6 +86,19 @@ def test_export_classification(tmp_path):
     )
 
 
+def test_export_quantized_artifact(tmp_path, seg_ckpt):
+    """The W8A8 int8 serving path exports too: int8 weights + scales are
+    baked into the StableHLO as constants, round trip bit-identical."""
+    ckpt, x = seg_ckpt
+    p = Predictor(ckpt, buckets=(2,), dtype=None, quantize=True,
+                  calibration_batches=[x])
+    q = ExportedPredictor(p.export(tmp_path / "aq", platforms=("cpu",)))
+    got = q(x)
+    want = p(x)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_exported_predictor_drives_batching_server(tmp_path, seg_ckpt):
     """The dynamic micro-batcher composes with exported artifacts (it only
     needs __call__/batch_size/_coerce, all part of the exported surface)."""
