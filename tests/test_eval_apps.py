@@ -173,6 +173,20 @@ def test_train_monuseg_cli_native_finetune(tmp_path, rng):
     meta = _json.loads((ckpt / "metadata.json").read_text())
     assert meta["native_finetune"] is True and meta["stage"] == 1
 
+    # regression: --resume with every stage already trained must STILL run
+    # a requested --native_finetune phase (it used to return early)
+    (ckpt / "metadata.json").unlink()
+    import shutil
+
+    shutil.rmtree(ckpt)
+    train_main([
+        "--data_dir", str(root), "--output_dir", str(out),
+        "--stages", "1", "--epochs", "1", "--batch_size", "2",
+        "--plain", "--mesh", "2,1", "--resume",
+        "--native_finetune", "1", "--native_size", "48",
+    ])
+    assert (ckpt / "variables.msgpack").exists()
+
 
 def test_train_and_test_herlev_cli_end_to_end(tmp_path):
     """Drive the full Herlev CLI loop: train 1 stage on a synthetic class

@@ -118,6 +118,27 @@ def test_exported_predictor_drives_batching_server(tmp_path, seg_ckpt):
                                   np.asarray(want[1][0]))
 
 
+def test_exported_import_is_flax_free():
+    """The deployment module must import without flax/the model zoo (the
+    package __init__ resolves exports lazily) — checked in a clean
+    interpreter since this suite already has flax loaded."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; import jax; jax.config.update('jax_platforms','cpu');\n"
+        "from ugpg_tpu.eval.exported import ExportedPredictor\n"
+        "assert 'flax' not in sys.modules, 'flax leaked'\n"
+        "assert 'ugpg_tpu.models.pgunet' not in sys.modules, 'model zoo leaked'\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-2000:]
+
+
 def test_export_multiplatform_cli(tmp_path, seg_ckpt):
     """The CLI exports a cpu+tpu artifact from this CPU host (cross-platform
     lowering) and ExportedPredictor serves it here."""

@@ -172,6 +172,31 @@ def test_finetune_native_learns_and_saves(tmp_path, rng):
     assert tr.variables[2]["params"] is tr._state.params
 
 
+def test_finetune_native_inherits_bf16(rng):
+    """A bf16 trainer's native fine-tune runs the bf16 compute path (the
+    dtype is inherited, not silently dropped to f32)."""
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    imgs, masks = disk_dataset(num_samples=2, image_size=32, seed=11)
+    tr = UncertaintyGuidedProgressiveTrainer(
+        stage_configs={1: {"resolution": 16, "epochs_per_stage": 1,
+                           "lr": 3e-4}},
+        verbose=False, dtype=jnp.bfloat16,
+    )
+    hist = tr.finetune_native(
+        ArrayLoader(imgs, masks, batch_size=2), stage=1, epochs=1,
+        mesh=_mesh(2),
+    )
+    assert np.isfinite(hist["train_loss"][0])
+    # f32 override still accepted
+    hist32 = tr.finetune_native(
+        ArrayLoader(imgs, masks, batch_size=2), stage=1, epochs=1,
+        mesh=_mesh(2), dtype=None,
+    )
+    assert np.isfinite(hist32["train_loss"][0])
+
+
 def test_spatial_train_rejects_indivisible(rng):
     tx = torch_rmsprop(3e-4)
     _, v = _init(1, 32)

@@ -167,22 +167,28 @@ def main(argv=None):
             else:
                 break
         if not stages:
+            # nothing progressive left to do — but a requested
+            # --native_finetune phase must still run below
             print("Resume: all requested stages already trained")
-            return trainer
 
-    try:
-        trainer.train_progressive(
-            train_loaders,
-            val_loaders,
-            save_dir=config["output_dir"],
-            stages=stages,
-            checkpoint_every=args.checkpoint_every,
-            resume=config["resume"],
-        )
-    except KeyboardInterrupt:
-        print("Training interrupted by user")
+    interrupted = False
+    if stages:
+        try:
+            trainer.train_progressive(
+                train_loaders,
+                val_loaders,
+                save_dir=config["output_dir"],
+                stages=stages,
+                checkpoint_every=args.checkpoint_every,
+                resume=config["resume"],
+            )
+        except KeyboardInterrupt:
+            interrupted = True
+            print("Training interrupted by user")
 
-    if args.native_finetune:
+    if args.native_finetune and interrupted:
+        print("Skipping --native_finetune after interrupt")
+    if args.native_finetune and not interrupted:
         if trainer.mesh is None:
             raise SystemExit("--native_finetune requires --mesh")
         from ugpg_tpu.data.loader import DataLoader

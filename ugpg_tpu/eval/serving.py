@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ugpg_tpu.eval.exported import ExportedPredictor, _BucketRouter
 from ugpg_tpu.io.checkpoint import load_checkpoint, sniff_stage
 from ugpg_tpu.models.pgunet import STAGE_MODELS, STAGE_RESOLUTIONS
 from ugpg_tpu.ops.resize import resize_bilinear_align_corners
@@ -50,7 +51,7 @@ __all__ = [
 ]
 
 
-class Predictor:
+class Predictor(_BucketRouter):
     """Fixed-bucket compiled predictor.
 
     Example:
@@ -273,60 +274,10 @@ class Predictor:
             )
 
     # ------------------------------------------------------------------
-    def _bucket_for(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
-    def _coerce(self, images: np.ndarray) -> np.ndarray:
-        """Match the compiled input signature: dtype and spatial size."""
-        images = np.asarray(images)
-        res = self.resolution
-        if self.input_dtype == jnp.dtype(jnp.uint8):
-            if images.dtype != np.uint8:
-                images = np.clip(np.asarray(images, np.float32) * 255.0,
-                                 0, 255).astype(np.uint8)
-        else:
-            if images.dtype == np.uint8:
-                images = images.astype(np.float32) / 255.0
-            else:
-                images = np.asarray(images, np.float32)
-        if images.shape[1:3] != (res, res):
-            # arbitrary request sizes: resize on host once (rare path; the
-            # compiled executables expect the model resolution)
-            x = jnp.asarray(images.astype(np.float32)
-                            if images.dtype == np.uint8 else images)
-            if images.dtype == np.uint8:
-                x = x / 255.0
-            x = resize_bilinear_align_corners(x, (res, res))
-            images = np.asarray(x)
-            if self.input_dtype == jnp.dtype(jnp.uint8):
-                images = np.clip(images * 255.0, 0, 255).astype(np.uint8)
-        return images
-
-    def _run_padded(self, chunk: np.ndarray):
-        n = chunk.shape[0]
-        bucket = self._bucket_for(n)
-        if n < bucket:
-            pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
-            chunk = np.concatenate([chunk, pad])
-        outs = self._compiled[bucket](self.variables, jnp.asarray(chunk))
-        return tuple(o[:n] for o in outs)
-
-    def __call__(self, images: np.ndarray):
-        """images: (N, H, W, 3) float32 in [0,1] or uint8 RGB; any N.
-        Segmentation -> numpy (preds, probs, uncertainty); classification ->
-        (labels, probs)."""
-        images = self._coerce(images)
-        outs = [
-            self._run_padded(images[s : s + self.batch_size])
-            for s in range(0, len(images), self.batch_size)
-        ]
-        return tuple(
-            np.concatenate([np.asarray(o[i]) for o in outs])
-            for i in range(self._n_outputs)
-        )
+    # request routing / coercion / __call__ come from _BucketRouter
+    # (eval/exported.py — shared with ExportedPredictor)
+    def _dispatch(self, bucket: int, chunk):
+        return self._compiled[bucket](self.variables, chunk)
 
     def export(self, path, platforms: Sequence[str] = ("cpu", "tpu")):
         """Serialize this predictor as a self-contained serving artifact.
@@ -391,60 +342,6 @@ class Predictor:
         ):
             outs = self._compiled[top](self.variables, device_batch)
             yield tuple(np.asarray(o[: int(n)]) for o in outs)
-
-
-class ExportedPredictor:
-    """Serve a ``Predictor.export`` artifact — no model code or checkpoint.
-
-    Loads the per-bucket StableHLO modules (weights baked in) and exposes
-    the same request surface as ``Predictor``: ragged batches route to the
-    smallest bucket that fits, padding is stripped from responses, uint8 /
-    float32 requests are coerced to the exported signature.  Works on any
-    platform the artifact was exported for (default: cpu + tpu).
-    """
-
-    def __init__(self, path):
-        import json
-        from pathlib import Path
-
-        from jax import export as jexport
-
-        path = Path(path)
-        manifest = json.loads((path / "manifest.json").read_text())
-        if manifest.get("format_version") != 1:
-            raise ValueError(
-                f"unsupported artifact format: {manifest.get('format_version')}"
-            )
-        self.manifest = manifest
-        self.task_type = manifest["task_type"]
-        self.stage = manifest["stage"]
-        self.resolution = manifest["resolution"]
-        self.buckets = tuple(manifest["buckets"])
-        self.batch_size = self.buckets[-1]
-        self.input_dtype = jnp.dtype(manifest["input_dtype"])
-        self._n_outputs = manifest["n_outputs"]
-        self._fns = {
-            b: jexport.deserialize(
-                (path / f"bucket_{b}.stablehlo").read_bytes()
-            )
-            for b in self.buckets
-        }
-
-    # same routing/coercion semantics as the live predictor (they only
-    # touch resolution / input_dtype / buckets, all restored from the
-    # manifest)
-    _bucket_for = Predictor._bucket_for
-    _coerce = Predictor._coerce
-    __call__ = Predictor.__call__
-
-    def _run_padded(self, chunk: np.ndarray):
-        n = chunk.shape[0]
-        bucket = self._bucket_for(n)
-        if n < bucket:
-            pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
-            chunk = np.concatenate([chunk, pad])
-        outs = self._fns[bucket].call(jnp.asarray(chunk))
-        return tuple(o[:n] for o in outs)
 
 
 class BatchingServer:

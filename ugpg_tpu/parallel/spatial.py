@@ -62,7 +62,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ugpg_tpu.models.blocks import BN_EPS, BN_MOMENTUM
+from ugpg_tpu.ops.losses import bce_with_logits
 from ugpg_tpu.ops.resize import _bilinear_ac_matrix
+from ugpg_tpu.uncertainty import binary_uncertainty
 
 __all__ = [
     "spatial_stage_infer",
@@ -439,8 +441,6 @@ def spatial_predict(
     (H, W): the batch is zero-padded to the divisibility constraint and all
     outputs cropped back to the original size.
     """
-    from ugpg_tpu.uncertainty import binary_uncertainty
-
     orig = None
     if pad:
         x, orig = pad_to_divisible(x, stage, mesh, axis, w_axis)
@@ -494,7 +494,7 @@ def _spatial_unc_map(prev_stage, prev_variables, x, grid: _Grid, dtype):
     probs_up = _resize_halo(
         jax.nn.sigmoid(prev_logits.astype(jnp.float32)), hw, grid
     )
-    return jax.lax.stop_gradient(1.0 - 2.0 * jnp.abs(probs_up - 0.5))
+    return jax.lax.stop_gradient(binary_uncertainty(probs_up))
 
 
 def _spatial_metrics(logits, y, unc_map, axes):
@@ -521,6 +521,27 @@ def _spatial_metrics(logits, y, unc_map, axes):
         c2 = jax.lax.pmean(jnp.mean(jnp.square(unc_map - unc_mean)), axes)
         unc_std = jnp.sqrt(jnp.maximum(c2, 0.0))
     return dice, acc, unc_mean, unc_std
+
+
+def _spatial_loss_and_metrics(logits, y, pos_weight, unc_map, alpha, axes):
+    """Global (psum'd) uncertainty-weighted loss + metric dict, shared by
+    the train and eval steps (same semantics as train/steps.py:
+    ref UG_unet.py:61-94 weighting, smooth-1 Dice, pixel accuracy)."""
+    pixel = bce_with_logits(logits, y, pos_weight)
+    base = jax.lax.pmean(jnp.mean(pixel), axes)
+    if unc_map is None:
+        final = base
+    else:
+        w = jax.lax.stop_gradient(1.0 + alpha * unc_map)
+        final = jax.lax.pmean(jnp.mean(pixel * w), axes)
+    dice, acc, unc_mean, unc_std = _spatial_metrics(logits, y, unc_map, axes)
+    return final, {
+        "base_loss": base,
+        "dice": dice,
+        "accuracy": acc,
+        "uncertainty_weight_mean": unc_mean,
+        "uncertainty_weight_std": unc_std,
+    }
 
 
 def make_spatial_train_step(
@@ -564,27 +585,10 @@ def make_spatial_train_step(
         logits, new_stats = _stage_forward_train(
             stage, params, batch_stats, x, grid, dtype
         )
-        from ugpg_tpu.ops.losses import bce_with_logits
-
-        pixel = bce_with_logits(logits, y, pos_weight)
-        base = jax.lax.pmean(jnp.mean(pixel), axes)
-        if unc_map is None:
-            final = base
-        else:
-            w = jax.lax.stop_gradient(1.0 + alpha * unc_map)
-            final = jax.lax.pmean(jnp.mean(pixel * w), axes)
-        dice, acc, unc_mean, unc_std = _spatial_metrics(logits, y, unc_map, axes)
-        aux = {
-            "new_stats": new_stats,
-            "metrics": {
-                "base_loss": base,
-                "dice": dice,
-                "accuracy": acc,
-                "uncertainty_weight_mean": unc_mean,
-                "uncertainty_weight_std": unc_std,
-            },
-        }
-        return final, aux
+        final, metrics = _spatial_loss_and_metrics(
+            logits, y, pos_weight, unc_map, alpha, axes
+        )
+        return final, {"new_stats": new_stats, "metrics": metrics}
 
     sharded = jax.shard_map(
         local,
@@ -650,24 +654,10 @@ def make_spatial_eval_step(
         logits = _stage_forward(
             stage, variables["params"], variables["batch_stats"], x, grid, dtype
         )
-        from ugpg_tpu.ops.losses import bce_with_logits
-
-        pixel = bce_with_logits(logits, y, pos_weight)
-        base = jax.lax.pmean(jnp.mean(pixel), axes)
-        if unc_map is None:
-            final = base
-        else:
-            w = jax.lax.stop_gradient(1.0 + alpha * unc_map)
-            final = jax.lax.pmean(jnp.mean(pixel * w), axes)
-        dice, acc, unc_mean, unc_std = _spatial_metrics(logits, y, unc_map, axes)
-        return {
-            "final_loss": final,
-            "base_loss": base,
-            "dice": dice,
-            "accuracy": acc,
-            "uncertainty_weight_mean": unc_mean,
-            "uncertainty_weight_std": unc_std,
-        }
+        final, metrics = _spatial_loss_and_metrics(
+            logits, y, pos_weight, unc_map, alpha, axes
+        )
+        return dict(metrics, final_loss=final)
 
     sharded = jax.shard_map(
         local, mesh=mesh, in_specs=(P(), P(), spec, spec, P()),

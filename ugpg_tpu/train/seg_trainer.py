@@ -50,6 +50,8 @@ from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["UncertaintyGuidedProgressiveTrainer", "DEFAULT_STAGE_CONFIGS"]
 
+_UNSET = object()  # sentinel: "inherit the trainer's dtype"
+
 DEFAULT_STAGE_CONFIGS = {
     1: {"resolution": 32, "epochs_per_stage": 40, "lr": 3e-4},
     2: {"resolution": 64, "epochs_per_stage": 40, "lr": 1e-4},
@@ -138,6 +140,7 @@ class UncertaintyGuidedProgressiveTrainer:
             s: dict(cfg) for s, cfg in (stage_configs or DEFAULT_STAGE_CONFIGS).items()
         }
         self.verbose = verbose
+        self.dtype = dtype
         self.augment = augment
         self.fused_loss = fused_loss
         self.mesh = mesh
@@ -583,6 +586,7 @@ class UncertaintyGuidedProgressiveTrainer:
         lr: float | None = None,
         val_loader: Iterable | None = None,
         save_dir: str | None = None,
+        dtype=_UNSET,
     ):
         """Fine-tune one stage at NATIVE slide resolution, spatially sharded.
 
@@ -616,6 +620,9 @@ class UncertaintyGuidedProgressiveTrainer:
             raise ValueError(
                 "finetune_native needs a mesh (e.g. parallel.mesh.make_mesh)"
             )
+        # inherit the trainer's compute dtype (e.g. bf16) unless overridden —
+        # native-resolution activations are exactly where bf16 matters
+        dtype = self.dtype if dtype is _UNSET else dtype
         axis = "data"
         prev_stage = stage - 1 if stage > 1 else None
         tx = torch_rmsprop(
@@ -627,12 +634,13 @@ class UncertaintyGuidedProgressiveTrainer:
         prev_vars = self._prev_variables(stage)
         step = make_spatial_train_step(
             stage, mesh, tx, axis=axis, w_axis=w_axis,
-            prev_stage=prev_stage, alpha=self.uncertainty_alpha,
+            prev_stage=prev_stage, alpha=self.uncertainty_alpha, dtype=dtype,
         )
         eval_step = (
             make_spatial_eval_step(
                 stage, mesh, axis=axis, w_axis=w_axis,
                 prev_stage=prev_stage, alpha=self.uncertainty_alpha,
+                dtype=dtype,
             )
             if val_loader is not None else None
         )
