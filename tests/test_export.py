@@ -86,9 +86,13 @@ def test_export_classification(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_export_quantized_artifact(tmp_path, seg_ckpt):
     """The W8A8 int8 serving path exports too: int8 weights + scales are
-    baked into the StableHLO as constants, round trip bit-identical."""
+    baked into the StableHLO as constants, round trip bit-identical.
+    Slow-marked (~2 min on 1 CPU core: quantize pipeline + int8 lowering);
+    the f32/uint8/cls round trips keep the export mechanism in the default
+    suite."""
     ckpt, x = seg_ckpt
     p = Predictor(ckpt, buckets=(2,), dtype=None, quantize=True,
                   calibration_batches=[x])
