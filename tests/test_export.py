@@ -143,6 +143,25 @@ def test_exported_import_is_flax_free():
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-2000:]
 
 
+def test_registry_serves_exported_artifact(tmp_path, seg_ckpt):
+    from ugpg_tpu.eval.serving import ServingRegistry
+
+    ckpt, x = seg_ckpt
+    p = Predictor(ckpt, buckets=(2,), dtype=None)
+    art = p.export(tmp_path / "reg", platforms=("cpu",))
+    reg = ServingRegistry(max_latency_ms=20.0)
+    try:
+        reg.register_artifact("seg", art)
+        with pytest.raises(ValueError, match="already registered"):
+            reg.register_artifact("seg", art)
+        preds, probs, unc = reg.predict("seg", np.asarray(x))
+        np.testing.assert_array_equal(probs, np.asarray(p(np.asarray(x))[1]))
+        fut = reg.submit("seg", np.asarray(x[0]))
+        assert fut.result(timeout=60)[0].shape == (32, 32, 1)
+    finally:
+        reg.close()
+
+
 def test_export_multiplatform_cli(tmp_path, seg_ckpt):
     """The CLI exports a cpu+tpu artifact from this CPU host (cross-platform
     lowering) and ExportedPredictor serves it here."""

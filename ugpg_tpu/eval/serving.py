@@ -491,6 +491,20 @@ class ServingRegistry:
             self._predictors[name] = p
         return p
 
+    def register_artifact(self, name: str, path) -> ExportedPredictor:
+        """Register an exported StableHLO artifact (``Predictor.export``
+        output) under ``name`` — same traffic surface (predict/submit), no
+        model code or checkpoint needed."""
+        with self._lock:
+            if name in self._predictors:
+                raise ValueError(f"model {name!r} already registered")
+        p = ExportedPredictor(path)
+        with self._lock:
+            if name in self._predictors:  # lost a registration race
+                raise ValueError(f"model {name!r} already registered")
+            self._predictors[name] = p
+        return p
+
     def names(self) -> list[str]:
         return sorted(self._predictors)
 
