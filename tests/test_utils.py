@@ -91,6 +91,45 @@ def test_trainer_writes_training_log(tmp_path):
     assert float(rows[1]["train_dice"]) > 0
 
 
+def test_trainer_writes_tensorboard_events(tmp_path):
+    """tb_logdir= wires real TensorBoard event files (the reference pins
+    tensorboard in requirements but never imports it — SURVEY §5)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    images, masks = disk_dataset(num_samples=4, image_size=16, seed=6)
+    loader = ArrayLoader(images, masks, batch_size=4)
+    cfgs = {1: {"resolution": 16, "epochs_per_stage": 2, "lr": 3e-4}}
+    tr = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, tb_logdir=tmp_path / "tb"
+    )
+    tr.train_progressive(loader, loader, max_stages=1, save_dir=tmp_path)
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+
+
+def test_tbwriter_noop_without_backend(monkeypatch, tmp_path):
+    """Missing backend -> one warning, no crash, inert writer."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_tb(name, *a, **k):
+        if name.startswith("torch"):
+            raise ImportError("no torch here")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_tb)
+    from ugpg_tpu.utils.tb import TBWriter
+
+    with pytest.warns(UserWarning, match="disabled"):
+        w = TBWriter(tmp_path)
+    assert not w.active
+    w.scalars(0, loss=1.0)  # no-op, no crash
+    w.close()
+
+
 def test_prefetch_propagates_producer_errors():
     """An exception in the prefetch put/transfer must surface in the
     consumer, not silently truncate the epoch."""

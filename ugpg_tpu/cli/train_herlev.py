@@ -30,6 +30,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="fuse each epoch into one lax.scan program (one "
                         "dispatch + one metric fetch per epoch; same "
                         "trajectory as the per-step path)")
+    p.add_argument("--tb_logdir", type=str, default=None,
+                   help="write per-epoch TensorBoard scalars to this dir")
     p.add_argument("--scan_chunk_mb", type=int, default=1024,
                    help="cap (MiB) on the per-dispatch stacked-epoch size "
                         "under --scan_epochs; oversized epochs run as "
@@ -57,6 +59,7 @@ def main(argv=None):
         output_dir=args.output_dir,
         scan_epochs=args.scan_epochs,
         scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
+        tb_logdir=args.tb_logdir,
     )
     if args.data_dir:
         config["data_dir"] = args.data_dir

@@ -65,6 +65,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="fuse each epoch into one lax.scan program (one "
                         "dispatch + one metric fetch per epoch; same "
                         "trajectory as the per-step path)")
+    p.add_argument("--tb_logdir", type=str, default=None,
+                   help="write per-epoch TensorBoard scalars to this dir")
     p.add_argument("--native_finetune", type=int, default=0, metavar="EPOCHS",
                    help="after progressive training, fine-tune the last "
                         "requested stage at NATIVE slide resolution, "
@@ -126,6 +128,7 @@ def main(argv=None):
         checkpoint_backend=args.checkpoint_backend,
         scan_epochs=args.scan_epochs,
         scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
+        tb_logdir=args.tb_logdir,
     )
 
     if args.plain:

@@ -489,6 +489,9 @@ class HerlevTrainer:
             ["stage", "epoch", "train_loss", "val_loss", "train_acc",
              "val_acc", "base_loss", "uncertainty_mean", "lr"],
         )
+        from ugpg_tpu.utils.tb import TBWriter
+
+        tb = TBWriter(self.config.get("tb_logdir"))
         for stage in self.config["stages"]:
             cfg = self.stage_configs[stage]
             self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
@@ -530,6 +533,13 @@ class HerlevTrainer:
                     base_loss=round(va_base, 6),
                     uncertainty_mean=round(va_um, 6),
                     lr=get_learning_rate(self._state.opt_state),
+                )
+                tb.scalars(
+                    len(self.history["train_loss"]) - 1,
+                    **{f"stage{stage}/train_loss": tr_loss,
+                       f"stage{stage}/val_loss": va_loss,
+                       f"stage{stage}/train_acc": tr_acc,
+                       f"stage{stage}/val_acc": va_acc},
                 )
 
                 self._print(
@@ -586,6 +596,7 @@ class HerlevTrainer:
         from ugpg_tpu.io.checkpoint import wait_for_async_saves
 
         wait_for_async_saves()  # durable checkpoints before returning
+        tb.close()
         hist_path = os.path.join(save_dir, "training_history.json")
         with open(hist_path, "w") as f:
             json.dump(self.history, f, indent=2)

@@ -107,6 +107,7 @@ class UncertaintyGuidedProgressiveTrainer:
         checkpoint_backend: str = "msgpack",
         scan_epochs: bool = False,
         scan_chunk_bytes: int | None = 1 << 30,
+        tb_logdir=None,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -148,6 +149,7 @@ class UncertaintyGuidedProgressiveTrainer:
         self.checkpoint_backend = checkpoint_backend
         self.scan_epochs = scan_epochs
         self.scan_chunk_bytes = scan_chunk_bytes
+        self.tb_logdir = tb_logdir
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -467,6 +469,9 @@ class UncertaintyGuidedProgressiveTrainer:
              "val_dice", "train_acc", "val_acc", "base_loss",
              "uncertainty_mean", "lr", "epoch_time_s"],
         )
+        from ugpg_tpu.utils.tb import TBWriter
+
+        tb = TBWriter(self.tb_logdir)
         self._print("Starting Uncertainty-Guided Progressive Growing U-Net Training")
 
         stage_list = list(stages) if stages is not None else list(range(1, max_stages + 1))
@@ -528,6 +533,14 @@ class UncertaintyGuidedProgressiveTrainer:
                     lr=get_learning_rate(self._state.opt_state),
                     epoch_time_s=round(time.time() - t0, 3),
                 )
+                tb.scalars(
+                    len(self.history["train_loss"]) - 1,
+                    **{f"stage{stage}/train_loss": tr_loss,
+                       f"stage{stage}/val_loss": va_loss,
+                       f"stage{stage}/train_dice": tr_dice,
+                       f"stage{stage}/val_dice": va_dice,
+                       f"stage{stage}/uncertainty_mean": va_um},
+                )
 
                 self._print(
                     f"Stage {stage}, Epoch {epoch + 1}/{cfg['epochs_per_stage']} "
@@ -571,6 +584,7 @@ class UncertaintyGuidedProgressiveTrainer:
         from ugpg_tpu.io.checkpoint import wait_for_async_saves
 
         wait_for_async_saves()  # durable checkpoints before returning
+        tb.close()
         self._print("Uncertainty-guided progressive training completed!")
         self.save_training_plots(save_path)
         return self.history
