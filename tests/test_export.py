@@ -143,6 +143,21 @@ def test_exported_import_is_flax_free():
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-2000:]
 
 
+def test_export_cli_quantize_requires_calibration(tmp_path, seg_ckpt):
+    from ugpg_tpu.cli.export_model import main
+
+    ckpt, x = seg_ckpt
+    with pytest.raises(SystemExit, match="calibration"):
+        main(["--model", ckpt, "--out", str(tmp_path / "q"), "--quantize"])
+    # with calibration data it exports and serves
+    np.save(tmp_path / "cal.npy", x)
+    main(["--model", ckpt, "--out", str(tmp_path / "q"), "--quantize",
+          "--calibration", str(tmp_path / "cal.npy"), "--buckets", "2",
+          "--platforms", "cpu"])
+    preds, probs, unc = ExportedPredictor(tmp_path / "q")(x)
+    assert preds.shape == (2, 32, 32, 1)
+
+
 def test_registry_serves_exported_artifact(tmp_path, seg_ckpt):
     from ugpg_tpu.eval.serving import ServingRegistry
 

@@ -32,12 +32,27 @@ def main(argv=None):
                    help="compile for raw uint8 RGB requests (device /255)")
     p.add_argument("--compact", action="store_true",
                    help="uint8 preds + float16 maps (2.4x fewer bytes)")
+    p.add_argument("--quantize", action="store_true",
+                   help="export the W8A8 int8 path (requires --calibration)")
+    p.add_argument("--calibration", type=str, default=None, metavar="NPY",
+                   help=".npy file of (N, H, W, 3) float images from the "
+                        "REAL input distribution — activation calibration "
+                        "for --quantize")
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     args = p.parse_args(argv)
+
+    import numpy as np
 
     import jax.numpy as jnp
 
     from ugpg_tpu.eval.serving import Predictor
+
+    calibration_batches = None
+    if args.quantize:
+        if args.calibration is None:
+            raise SystemExit("--quantize requires --calibration NPY "
+                             "(no silent random calibration)")
+        calibration_batches = [np.load(args.calibration)]
 
     num_classes = args.classes or (1 if args.task == "segmentation" else 7)
     predictor = Predictor(
@@ -47,6 +62,8 @@ def main(argv=None):
         buckets=tuple(args.buckets),
         input_dtype=jnp.uint8 if args.uint8 else jnp.float32,
         compact_output=args.compact,
+        quantize=args.quantize,
+        calibration_batches=calibration_batches,
         dtype=None,  # export in the checkpoint's precision (f32)
     )
     path = predictor.export(args.out, platforms=tuple(args.platforms))
