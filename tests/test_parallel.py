@@ -210,6 +210,38 @@ def test_host_batch_slice_arithmetic(monkeypatch):
         monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
         s = distributed.host_batch_slice(32)
         assert s == slice(pid * 8, pid * 8 + 8)
+    # indivisible batch must raise, not silently drop the tail samples
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed.host_batch_slice(10)
+
+
+def test_initialize_guard_does_not_touch_backend(monkeypatch):
+    """The already-initialized check must not call process_count()/devices()
+    — those initialize the XLA backend, after which
+    jax.distributed.initialize raises unconditionally (the bug this guards
+    against bricked every real multi-host start)."""
+    from ugpg_tpu.parallel import distributed
+
+    def boom():
+        raise AssertionError("initialize() touched the XLA backend")
+
+    monkeypatch.setattr(jax, "process_count", boom)
+    monkeypatch.setattr(jax, "devices", boom)
+    called = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: called.append(kw), raising=True,
+    )
+    distributed.initialize("10.0.0.2:5555", num_processes=2, process_id=0)
+    assert called and called[0]["coordinator_address"] == "10.0.0.2:5555"
+
+    # and when the cluster IS already up, it is a no-op
+    from jax._src.distributed import global_state
+
+    monkeypatch.setattr(global_state, "client", object(), raising=False)
+    called.clear()
+    distributed.initialize("10.0.0.2:5555")
+    assert called == []
 
 
 def test_global_batch_assembles_on_fake_mesh():

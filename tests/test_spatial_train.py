@@ -129,6 +129,28 @@ def test_spatial_train_multi_step_trajectory(rng):
     )
 
 
+def test_spatial_unc_scale_matches_prev_stage_gap(rng):
+    """prev_stage two stages back (factor 4): the frozen forward must run
+    at quarter scale, matching the unsharded step's prev_resolution."""
+    m1, v1 = _init(1, 8, seed=0)
+    m3, v3 = _init(3, 32, seed=1)
+    batch = _batch(rng, 2, 32)
+    _, m_ref = _ref_step_metrics(m3, v3, batch, 3, 32, prev=(m1, v1, 8))
+    _, m_sp = _spatial_step_metrics(v3, batch, 3, _mesh(2), prev=(1, v1))
+    _assert_metrics_close(m_sp, m_ref)
+
+
+def test_spatial_infer_is_memoized():
+    """Repeated make_spatial_infer calls return ONE jit wrapper (per-call
+    re-tracing would recompile the stage forward for every slide)."""
+    from ugpg_tpu.parallel.spatial import make_spatial_infer
+
+    mesh = _mesh(2)
+    a = make_spatial_infer(2, mesh, "data", None, None)
+    b = make_spatial_infer(2, mesh, "data", None, None)
+    assert a is b
+
+
 def test_spatial_eval_step_matches_unsharded(rng):
     m1, v1 = _init(1, 32, seed=0)
     m2, v2 = _init(2, 64, seed=1)
@@ -201,7 +223,8 @@ def test_spatial_train_rejects_indivisible(rng):
     tx = torch_rmsprop(3e-4)
     _, v = _init(1, 32)
     state = TrainState.create(v, tx)
-    step = make_spatial_train_step(1, _mesh(2), tx)
+    # donate=False: this test reuses `state` across calls
+    step = make_spatial_train_step(1, _mesh(2), tx, donate=False)
     x = np.zeros((1, 36, 36, 3), np.float32)  # 36 % (2*2) == 0 but 36 % 4 ok
     y = np.zeros((1, 36, 36, 1), np.float32)
     step(state, {}, (x, y), 5.0)  # 36 divisible by 2 shards * 2^1 -> fine

@@ -22,14 +22,32 @@ import numpy as np
 __all__ = ["initialize", "is_multi_host", "host_batch_slice", "global_batch"]
 
 
+def _cluster_initialized() -> bool:
+    """Whether jax.distributed.initialize already ran in this process.
+
+    Checked WITHOUT touching ``jax.process_count()``/``jax.devices()``:
+    those initialize the XLA backend as a side effect, after which
+    ``jax.distributed.initialize`` unconditionally raises ("must be called
+    before any JAX calls") — i.e. a process_count-based guard would brick
+    the exact multi-host path this module exists for.
+    """
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:
+        return False  # private API moved: assume uninitialized
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
     """jax.distributed.initialize with env-var fallbacks (no-op if already
-    initialized or clearly single-process)."""
-    if jax.process_count() > 1:
+    initialized or clearly single-process).  Must run before any other JAX
+    call in the process (JAX requirement)."""
+    if _cluster_initialized():
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "UGPG_COORDINATOR_ADDRESS"
@@ -48,8 +66,18 @@ def is_multi_host() -> bool:
 
 
 def host_batch_slice(global_batch_size: int) -> slice:
-    """This process's contiguous slice of the global batch."""
-    per_host = global_batch_size // jax.process_count()
+    """This process's contiguous slice of the global batch.
+
+    Raises on indivisible sizes — silently flooring would drop the last
+    ``global_batch_size % process_count`` samples from EVERY batch.
+    """
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes; pad or resize the batch"
+        )
+    per_host = global_batch_size // n
     start = jax.process_index() * per_host
     return slice(start, start + per_host)
 

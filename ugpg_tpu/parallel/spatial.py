@@ -192,14 +192,17 @@ def _max_pool2(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _axis_resize_matrix(n_in: int, n_out: int, shards: int) -> np.ndarray:
-    """Halo-padded per-shard resize weights for one axis, statically
+def _axis_resize_bands(n_in: int, n_out: int, shards: int) -> np.ndarray:
+    """Per-shard halo-padded resize bands for one axis, statically
     tap-checked.
 
-    Returns Wp of shape (n_out, n_in + 2) with Wp[:, 1:n_in+1] = the global
-    align_corners=True matrix; shard i applies
-    ``Wp[i*Lo:(i+1)*Lo, i*L : i*L + L + 2]`` to its halo-padded extent.
-    Raises at trace time if any output element's taps leave the 1-px halo.
+    Returns W of shape (shards, n_out/shards, n_in/shards + 2): band i is
+    the slab of the global align_corners=True matrix that shard i applies
+    to its halo-extended local extent.  Stacking only the BANDS (not the
+    dense global matrix) keeps the replicated per-chip constant at
+    O(n_out * n_in / shards) — it shrinks as the grid grows, instead of
+    re-capping the slide size the module exists to remove.  Raises at trace
+    time if any output element's taps leave the 1-px halo.
     """
     if n_in % shards or n_out % shards:
         raise ValueError(f"axis {n_in}->{n_out} not divisible by {shards} shards")
@@ -207,6 +210,7 @@ def _axis_resize_matrix(n_in: int, n_out: int, shards: int) -> np.ndarray:
     wp = np.zeros((n_out, n_in + 2), dtype=np.float32)
     wp[:, 1 : n_in + 1] = w
     lo, lo_out = n_in // shards, n_out // shards
+    bands = []
     for i in range(shards):
         block = wp[i * lo_out : (i + 1) * lo_out]
         cols = np.nonzero(np.abs(block).sum(axis=0) > 0)[0]
@@ -214,19 +218,17 @@ def _axis_resize_matrix(n_in: int, n_out: int, shards: int) -> np.ndarray:
             raise ValueError(
                 f"resize {n_in}->{n_out}: shard {i} taps outside 1-px halo"
             )
-    return wp
+        bands.append(block[:, i * lo : i * lo + lo + 2])
+    return np.stack(bands)
 
 
 def _resize_axis_sharded(y, out_n, axis_name, size, dim, eq):
-    """One sharded-axis bilinear resize: per-shard slice of the halo-padded
-    global interpolation matrix, applied to the halo-extended local block."""
+    """One sharded-axis bilinear resize: this shard's band of the global
+    interpolation matrix, applied to the halo-extended local block."""
     n = y.shape[dim] * size
-    wp = jnp.asarray(_axis_resize_matrix(n, out_n, size))
+    bands = jnp.asarray(_axis_resize_bands(n, out_n, size))
     i = jax.lax.axis_index(axis_name)
-    lo_out = out_n // size
-    wloc = jax.lax.dynamic_slice(
-        wp, (i * lo_out, i * y.shape[dim]), (lo_out, y.shape[dim] + 2)
-    )
+    wloc = jax.lax.dynamic_index_in_dim(bands, i, axis=0, keepdims=False)
     yp = _with_halo(y, axis_name, size, dim)
     return jnp.einsum(eq, wloc, yp, precision=jax.lax.Precision.HIGHEST)
 
@@ -383,6 +385,15 @@ def pad_to_divisible(images: np.ndarray | jax.Array, stage: int, mesh: Mesh,
     return images, (h, w)
 
 
+def _check_divisible(stage, x, h_size, w_size):
+    pools = _n_pools(stage)
+    if x.shape[1] % (h_size * 2**pools) or x.shape[2] % (w_size * 2**pools):
+        raise ValueError(
+            f"(H, W)={x.shape[1:3]} not divisible by shards*2^pools "
+            f"({h_size}*{2**pools}, {w_size}*{2**pools}); use pad_to_divisible"
+        )
+
+
 def make_spatial_infer(stage: int, mesh: Mesh, axis: str = "data",
                        dtype: Any = None, w_axis: str | None = None):
     """Build a jitted spatially-sharded forward: (variables, x) -> logits.
@@ -395,7 +406,16 @@ def make_spatial_infer(stage: int, mesh: Mesh, axis: str = "data",
     H (and W); the returned logits are sharded the same way, f32
     (N, H, W, K).  Eval-mode BatchNorm (running stats), matching
     ``PGUNetN.apply(..., train=False)``.
+
+    Memoized per (stage, mesh, axis, dtype, w_axis): repeated calls — e.g.
+    one per slide in ``evaluate_dataset_native`` — reuse ONE jit wrapper
+    (and therefore its compile cache) instead of re-tracing per call.
     """
+    return _make_spatial_infer(stage, mesh, axis, dtype, w_axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spatial_infer(stage, mesh, axis, dtype, w_axis):
     h_size = mesh.shape[axis]
     w_size = mesh.shape[w_axis] if w_axis else 1
     grid = _Grid(axis, h_size, w_axis, w_size)
@@ -404,13 +424,7 @@ def make_spatial_infer(stage: int, mesh: Mesh, axis: str = "data",
 
     @jax.jit
     def infer(variables: Mapping[str, Any], x: jax.Array) -> jax.Array:
-        pools = _n_pools(stage)
-        if x.shape[1] % (h_size * 2**pools) or x.shape[2] % (w_size * 2**pools):
-            raise ValueError(
-                f"(H, W)={x.shape[1:3]} not divisible by shards*2^pools "
-                f"({h_size}*{2**pools}, {w_size}*{2**pools}); "
-                "use pad_to_divisible"
-            )
+        _check_divisible(stage, x, h_size, w_size)
         sharded = jax.shard_map(
             lambda v, t: fwd(v["params"], v["batch_stats"], t),
             mesh=mesh,
@@ -436,22 +450,34 @@ def spatial_predict(
 ):
     """(preds, probs, uncertainty) for a whole-slide batch, grid-sharded.
 
-    Pointwise tail (sigmoid / threshold / 1-2|p-.5|) runs shard-local under
-    the same jit; binary heads only.  ``pad=True`` accepts arbitrary
-    (H, W): the batch is zero-padded to the divisibility constraint and all
-    outputs cropped back to the original size.
+    Pointwise tail (sigmoid / threshold / 1-2|p-.5|) runs inside the same
+    memoized jit as the forward; binary heads only.  ``pad=True`` accepts
+    arbitrary (H, W): the batch is zero-padded to the divisibility
+    constraint and all outputs cropped back to the original size.
     """
     orig = None
     if pad:
         x, orig = pad_to_divisible(x, stage, mesh, axis, w_axis)
-    logits = spatial_stage_infer(variables, x, stage, mesh, axis, dtype, w_axis)
-    probs = jax.nn.sigmoid(logits)
-    preds = (probs > 0.5).astype(jnp.float32)
-    unc = binary_uncertainty(probs)
+    preds, probs, unc = _make_spatial_predict(stage, mesh, axis, dtype, w_axis)(
+        variables, x
+    )
     if orig is not None:
         h, w = orig
         preds, probs, unc = (t[:, :h, :w] for t in (preds, probs, unc))
     return preds, probs, unc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spatial_predict(stage, mesh, axis, dtype, w_axis):
+    infer = _make_spatial_infer(stage, mesh, axis, dtype, w_axis)
+
+    @jax.jit
+    def predict(variables, x):
+        probs = jax.nn.sigmoid(infer(variables, x))
+        preds = (probs > 0.5).astype(jnp.float32)
+        return preds, probs, binary_uncertainty(probs)
+
+    return predict
 
 
 # ---------------------------------------------------------------------------
@@ -470,22 +496,16 @@ def spatial_predict(
 # ---------------------------------------------------------------------------
 
 
-def _check_divisible(stage, x, h_size, w_size):
-    pools = _n_pools(stage)
-    if x.shape[1] % (h_size * 2**pools) or x.shape[2] % (w_size * 2**pools):
-        raise ValueError(
-            f"(H, W)={x.shape[1:3]} not divisible by shards*2^pools "
-            f"({h_size}*{2**pools}, {w_size}*{2**pools}); use pad_to_divisible"
-        )
-
-
-def _spatial_unc_map(prev_stage, prev_variables, x, grid: _Grid, dtype):
+def _spatial_unc_map(prev_stage, prev_variables, x, grid: _Grid, dtype,
+                     factor: int):
     """Frozen prev-stage uncertainty map on the grid (ref: UG_unet.py:19-59):
-    downsample to the previous stage's scale (x0.5 — taps stay in the 1-px
-    halo), eval-mode forward, sigmoid, upsample, 1-2|P-.5|, stop_gradient."""
+    downsample to the previous stage's scale (``factor`` =
+    2**(stage - prev_stage), matching the reference's prev_resolution —
+    taps stay within the 1-px halo, statically checked), eval-mode forward,
+    sigmoid, upsample, 1-2|P-.5|, stop_gradient."""
     hw = (x.shape[1] * grid.h_size, x.shape[2] * grid.w_size)
     x_prev = _resize_halo(
-        x.astype(jnp.float32), (hw[0] // 2, hw[1] // 2), grid
+        x.astype(jnp.float32), (hw[0] // factor, hw[1] // factor), grid
     )
     prev_logits = _stage_forward(
         prev_stage, prev_variables["params"], prev_variables["batch_stats"],
@@ -553,6 +573,7 @@ def make_spatial_train_step(
     prev_stage: int | None = None,
     alpha: float = 1.0,
     dtype: Any = None,
+    donate: bool = True,
 ):
     """Build a jitted native-resolution spatially-sharded train step.
 
@@ -567,6 +588,11 @@ def make_spatial_train_step(
     boundaries; use the offline patch+aug pipeline, cli/augment_monuseg).
     Metrics match train/steps.py: same loss (ref: UG_unet.py:61-94), Dice,
     accuracy, uncertainty stats — as global psums.
+
+    ``donate`` (default True, matching make_seg_train_step) recycles the
+    input state's buffers in place — native-resolution activations are
+    exactly where HBM is the binding constraint.  Pass donate=False to
+    keep reusing a state object across calls.
     """
     import optax
 
@@ -576,10 +602,12 @@ def make_spatial_train_step(
     spec = P(None, axis, w_axis) if w_axis else P(None, axis)
     axes = (axis,) + ((w_axis,) if w_axis else ())
     use_unc = stage > 1 and prev_stage is not None
+    unc_factor = 2 ** (stage - prev_stage) if use_unc else 1
 
     def local(params, batch_stats, prev_variables, x, y, pos_weight):
         unc_map = (
-            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype)
+            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype,
+                             unc_factor)
             if use_unc else None
         )
         logits, new_stats = _stage_forward_train(
@@ -624,7 +652,7 @@ def make_spatial_train_step(
             metrics,
         )
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_spatial_eval_step(
@@ -645,10 +673,12 @@ def make_spatial_eval_step(
     spec = P(None, axis, w_axis) if w_axis else P(None, axis)
     axes = (axis,) + ((w_axis,) if w_axis else ())
     use_unc = stage > 1 and prev_stage is not None
+    unc_factor = 2 ** (stage - prev_stage) if use_unc else 1
 
     def local(variables, prev_variables, x, y, pos_weight):
         unc_map = (
-            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype)
+            _spatial_unc_map(prev_stage, prev_variables, x, grid, dtype,
+                             unc_factor)
             if use_unc else None
         )
         logits = _stage_forward(
