@@ -137,6 +137,9 @@ class HerlevTrainer:
         self._eval_steps: dict[int, Any] = {}
         self._train_epochs: dict[int, Any] = {}
         self._eval_epochs: dict[int, Any] = {}
+        # per-stage device copy of a single-chunk validation epoch (see
+        # _validate_epoch_scan)
+        self._val_stack_cache: dict[int, Any] = {}
         # scan_epochs: fuse each epoch into one lax.scan program (one
         # dispatch + one metric fetch per epoch); identical trajectory to
         # the per-step path (same step bodies + RNG subkey sequence)
@@ -161,6 +164,16 @@ class HerlevTrainer:
 
     # ------------------------------------------------------------------
     def _ensure_variables(self, stage: int):
+        if stage in self.variables:
+            # the donating train step invalidates the buffers this tree
+            # aliases mid-epoch (repaired at epoch end); after an interrupt
+            # the latest valid copy lives in the step's OUTPUT state
+            leaves = jax.tree.leaves(self.variables[stage])
+            if leaves and getattr(leaves[0], "is_deleted", lambda: False)():
+                if self._state is not None and self.current_stage == stage:
+                    self.variables[stage] = self._state.variables
+                else:  # unrecoverable alias (shouldn't happen): re-init
+                    del self.variables[stage]
         if stage not in self.variables:
             res = self.stage_configs[stage]["resolution"]
             x = jnp.zeros((1, res, res, 3), jnp.float32)
@@ -368,6 +381,11 @@ class HerlevTrainer:
             wmean("uncertainty_weight_std"),
         )
 
+    def _scan_possible(self) -> bool:
+        """Cheap pre-check BEFORE materializing the epoch (multi-process
+        mesh feeding is per-batch; see seg_trainer._scan_possible)."""
+        return self.mesh is None or jax.process_count() == 1
+
     def _train_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
@@ -399,7 +417,11 @@ class HerlevTrainer:
         self.variables[stage] = self._state.variables
         return self._combine_cls_scan(parts, tail_metrics)
 
-    def _validate_epoch_scan(self, batches: list, stage: int):
+    def _validate_epoch_scan(self, batches: list, stage: int,
+                             cache_token=None):
+        """``cache_token``: single-chunk tail-less validation epochs cache
+        their stacked device copy per stage (validation sets are static
+        across epochs; see seg_trainer._validate_epoch_scan)."""
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
         ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
@@ -410,12 +432,22 @@ class HerlevTrainer:
             self._state.variables if self._state else self._ensure_variables(stage)
         )
         cw = self.class_weights
+        cacheable = cache_token is not None and not tail and len(ranges) == 1
         parts = []
         for a, b in ranges:
-            stacked, _ = stack_epoch(batches[a:b])
-            mean_metrics = epoch_fn(
-                variables, prev_vars, put_stacked(stacked, self.mesh), cw
-            )
+            dev = None
+            if cacheable:
+                cached = self._val_stack_cache.get(stage)
+                if cached is not None and cached[0] == (cache_token, len(batches)):
+                    dev = cached[1]
+            if dev is None:
+                stacked, _ = stack_epoch(batches[a:b])
+                dev = put_stacked(stacked, self.mesh)
+                if cacheable:
+                    self._val_stack_cache[stage] = (
+                        (cache_token, len(batches)), dev
+                    )
+            mean_metrics = epoch_fn(variables, prev_vars, dev, cw)
             parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
@@ -428,7 +460,7 @@ class HerlevTrainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
-        if self.scan_epochs:
+        if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
                 return (0.0, 0.0, 0.0, 0.0, 0.0)
@@ -458,11 +490,13 @@ class HerlevTrainer:
         return self._reduce_epoch(collected)
 
     def validate_epoch(self, dataloader: Iterable, stage: int):
-        if self.scan_epochs:
+        if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
                 return (0.0, 0.0, 0.0, 0.0, 0.0)
-            out = self._validate_epoch_scan(batches, stage)
+            out = self._validate_epoch_scan(
+                batches, stage, cache_token=id(dataloader)
+            )
             if out is not None:
                 return out
             dataloader = batches
@@ -496,12 +530,12 @@ class HerlevTrainer:
             cfg = self.stage_configs[stage]
             self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
             self.current_stage = stage
-            self.setup_optimizer_scheduler(stage)
+            # transfer BEFORE the optimizer build (seg_trainer order): the
+            # single TrainState.create then sees the transferred variables —
+            # the old order built and immediately discarded a full opt state
             if stage > 1:
                 self.transfer_weights(stage - 1, stage)
-                # rebuild state to pick up transferred variables
-                self.variables[stage] = self._shard(self._ensure_variables(stage))
-                self._state = TrainState.create(self.variables[stage], self._tx)
+            self.setup_optimizer_scheduler(stage)
 
             tl = train_loaders[stage] if isinstance(train_loaders, dict) else train_loaders
             vl = val_loaders[stage] if isinstance(val_loaders, dict) else val_loaders
@@ -514,6 +548,10 @@ class HerlevTrainer:
                 tr_loss, tr_base, tr_acc, tr_um, tr_us = self.train_epoch(tl, stage)
                 va_loss, va_base, va_acc, va_um, va_us = self.validate_epoch(vl, stage)
 
+                # the lr THIS epoch trained with — read before the plateau
+                # step below possibly reduces it (logging after would
+                # misattribute the reduction one epoch early)
+                epoch_lr = get_learning_rate(self._state.opt_state)
                 # plateau scheduler on val loss (ref: :439)
                 self._state = self._state.replace(
                     opt_state=self._scheduler.step(va_loss, self._state.opt_state)
@@ -532,7 +570,7 @@ class HerlevTrainer:
                     train_acc=round(tr_acc, 4), val_acc=round(va_acc, 4),
                     base_loss=round(va_base, 6),
                     uncertainty_mean=round(va_um, 6),
-                    lr=get_learning_rate(self._state.opt_state),
+                    lr=epoch_lr,
                 )
                 tb.scalars(
                     len(self.history["train_loss"]) - 1,

@@ -169,6 +169,9 @@ class UncertaintyGuidedProgressiveTrainer:
         self._eval_steps: dict[int, Any] = {}
         self._train_epochs: dict[int, Any] = {}
         self._eval_epochs: dict[int, Any] = {}
+        # per-stage device copy of a single-chunk validation epoch (see
+        # _validate_epoch_scan)
+        self._val_stack_cache: dict[int, Any] = {}
 
         self.history: dict[str, list] = {
             "train_loss": [],
@@ -183,6 +186,16 @@ class UncertaintyGuidedProgressiveTrainer:
 
     # ------------------------------------------------------------------
     def _ensure_variables(self, stage: int):
+        if stage in self.variables:
+            # the donating train step invalidates the buffers this tree
+            # aliases mid-epoch (repaired at epoch end); after an interrupt
+            # the latest valid copy lives in the step's OUTPUT state
+            leaves = jax.tree.leaves(self.variables[stage])
+            if leaves and getattr(leaves[0], "is_deleted", lambda: False)():
+                if self._state is not None and self.current_stage == stage:
+                    self.variables[stage] = self._state.variables
+                else:  # unrecoverable alias (shouldn't happen): re-init
+                    del self.variables[stage]
         if stage not in self.variables:
             res = self.stage_configs[stage]["resolution"]
             x = jnp.zeros((1, res, res, self.in_channels), jnp.float32)
@@ -311,6 +324,12 @@ class UncertaintyGuidedProgressiveTrainer:
             # for this one batch
         return jnp.asarray(images), jnp.asarray(masks)
 
+    def _scan_possible(self) -> bool:
+        """Cheap pre-check BEFORE materializing the epoch: multi-process
+        mesh feeding is per-batch, so listing the loader would buffer the
+        full epoch on every host only to fall back."""
+        return self.mesh is None or jax.process_count() == 1
+
     def _train_epoch_scan(self, batches: list, stage: int):
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
@@ -344,7 +363,14 @@ class UncertaintyGuidedProgressiveTrainer:
         self.variables[stage] = self._state.variables
         return _combine_scan_metrics(parts, tail_metrics)
 
-    def _validate_epoch_scan(self, batches: list, stage: int):
+    def _validate_epoch_scan(self, batches: list, stage: int,
+                             cache_token=None):
+        """``cache_token`` (the loader's identity): when the whole epoch
+        fits ONE chunk with no ragged tail, its stacked device copy is
+        cached per stage — validation sets are static across epochs
+        (never shuffled/augmented), so re-stacking + re-transferring the
+        identical bytes every epoch is pure waste on a transfer-bound
+        link.  The cache stays within the scan_chunk_bytes bound."""
         if not scan_usable(batches[0], self.mesh):
             return None  # checked before stacking: no wasted epoch copy
         ranges, tail_start = plan_epoch_chunks(batches, self.scan_chunk_bytes)
@@ -352,12 +378,22 @@ class UncertaintyGuidedProgressiveTrainer:
         epoch_fn = self._get_eval_epoch(stage)
         prev_vars = self._prev_variables(stage)
         variables = self._state.variables if self._state else self._ensure_variables(stage)
+        cacheable = cache_token is not None and not tail and len(ranges) == 1
         parts = []
         for a, b in ranges:
-            stacked, _ = stack_epoch(batches[a:b])
-            mean_metrics = epoch_fn(
-                variables, prev_vars, put_stacked(stacked, self.mesh), self.pos_weight
-            )
+            dev = None
+            if cacheable:
+                cached = self._val_stack_cache.get(stage)
+                if cached is not None and cached[0] == (cache_token, len(batches)):
+                    dev = cached[1]
+            if dev is None:
+                stacked, _ = stack_epoch(batches[a:b])
+                dev = put_stacked(stacked, self.mesh)
+                if cacheable:
+                    self._val_stack_cache[stage] = (
+                        (cache_token, len(batches)), dev
+                    )
+            mean_metrics = epoch_fn(variables, prev_vars, dev, self.pos_weight)
             parts.append((mean_metrics, b - a))
         tail_metrics = []
         if tail:
@@ -372,7 +408,7 @@ class UncertaintyGuidedProgressiveTrainer:
     def train_epoch(self, dataloader: Iterable, stage: int):
         """One training epoch; returns the reference's 6-tuple of averages
         (loss, base_loss, dice, accuracy, unc_mean, unc_std) (ref: :186-256)."""
-        if self.scan_epochs:
+        if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
                 return (0.0,) * len(_METRIC_KEYS)
@@ -407,11 +443,13 @@ class UncertaintyGuidedProgressiveTrainer:
 
     def validate_epoch(self, dataloader: Iterable, stage: int):
         """One validation epoch (eval-mode BN, no update) (ref: :258-314)."""
-        if self.scan_epochs:
+        if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
                 return (0.0,) * len(_METRIC_KEYS)
-            out = self._validate_epoch_scan(batches, stage)
+            out = self._validate_epoch_scan(
+                batches, stage, cache_token=id(dataloader)
+            )
             if out is not None:
                 return out
             dataloader = batches
@@ -498,16 +536,34 @@ class UncertaintyGuidedProgressiveTrainer:
                     resume_stage = None
                     if start_epoch >= cfg["epochs_per_stage"]:
                         continue
-                else:  # past the resume stage: normal flow
+                else:
+                    # the requested stage list skipped past the resume
+                    # stage: its trained weights must still be loaded —
+                    # otherwise transfer_weights below would seed this
+                    # stage from a freshly-initialized resume stage (and
+                    # use random weights as the uncertainty source)
+                    for suffix in ("last", "best"):
+                        ckpt = save_path / f"ug_pgunet_stage{resume_stage}_{suffix}"
+                        if has_checkpoint(ckpt):
+                            self.load_stage_weights(resume_stage, ckpt)
+                            break
                     resume_stage = None
             if start_epoch == 0:
                 if stage > 1:
                     self.transfer_weights(stage - 1, stage)
                 self.current_stage = stage
                 self.setup_optimizer(stage)
-            self.history["stage_transitions"].append(len(self.history["train_loss"]))
-
-            best_val_dice = 0.0
+                self.history["stage_transitions"].append(
+                    len(self.history["train_loss"])
+                )
+            # resumed mid-stage: the restored history already carries this
+            # stage's transition marker, and the _best checkpoint's dice
+            # must keep gating saves (best_val_dice=0 would let a worse
+            # post-resume epoch silently overwrite the better weights)
+            best_val_dice = (
+                self._best_val_dice_on_disk(save_path, stage)
+                if start_epoch > 0 else 0.0
+            )
             for epoch in range(start_epoch, cfg["epochs_per_stage"]):
                 t0 = time.time()
                 (tr_loss, tr_base, tr_dice, tr_acc, tr_um, tr_us) = self.train_epoch(
@@ -677,10 +733,14 @@ class UncertaintyGuidedProgressiveTrainer:
         for epoch in range(epochs):
             t0 = time.time()
             acc = []
-            for batch in train_loader:
-                state, m = step(
-                    state, prev_vars, crop(*batch), self.pos_weight
-                )
+            # double-buffered host->HBM prefetch: slide k+1 crops+transfers
+            # while the spatial step for slide k runs (native-res batches
+            # are the largest transfers in the codebase)
+            for batch in prefetch_to_device(
+                iter(train_loader), size=2,
+                put=lambda b: jax.device_put(crop(*b)),
+            ):
+                state, m = step(state, prev_vars, batch, self.pos_weight)
                 acc.append(m)
             tr_loss = float(np.mean([float(m["final_loss"]) for m in acc]))
             tr_dice = float(np.mean([float(m["dice"]) for m in acc]))
@@ -723,6 +783,18 @@ class UncertaintyGuidedProgressiveTrainer:
                 backend=self.checkpoint_backend,
             )
         return hist
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _best_val_dice_on_disk(save_path: Path, stage: int) -> float:
+        """val_dice recorded in the stage's _best checkpoint (0.0 if none)."""
+        import json as _json
+
+        meta_file = save_path / f"ug_pgunet_stage{stage}_best" / "metadata.json"
+        try:
+            return float(_json.loads(meta_file.read_text()).get("val_dice", 0.0))
+        except (OSError, ValueError):
+            return 0.0
 
     # ------------------------------------------------------------------
     def _find_resume_point(self, save_path: Path):
