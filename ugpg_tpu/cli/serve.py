@@ -1,0 +1,91 @@
+"""Serve checkpoints / exported artifacts over HTTP.
+
+Usage:
+    # one or more models; seg is the default task
+    python -m ugpg_tpu.cli.serve --model seg=out/ug_pgunet_stage4_best \
+        --cls_model cls=out/herlev_stage4_best --classes 7 \
+        --artifact seg_v2=exported/stage4 \
+        [--port 8000] [--buckets 1 8 64] [--uint8] [--max_latency_ms 5]
+
+Endpoints: GET /v1/health, GET /v1/models[/<name>],
+POST /v1/models/<name>:predict (application/x-npy or application/json) —
+see ugpg_tpu/eval/http_server.py.  Single-image requests from concurrent
+clients are micro-batched into shared device calls.
+
+The reference ships no serving surface (its "inference" is a per-image
+Python loop inside an eval CLI, ref: MoNuSegImprove/test_monuseg.py:164-201).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _split_spec(spec: str) -> tuple[str, str]:
+    if "=" not in spec:
+        raise SystemExit(f"model spec must be name=path, got {spec!r}")
+    name, path = spec.split("=", 1)
+    return name, path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="HTTP serving front end")
+    p.add_argument("--model", action="append", default=[], metavar="NAME=CKPT",
+                   help="segmentation checkpoint to serve (repeatable)")
+    p.add_argument("--cls_model", action="append", default=[],
+                   metavar="NAME=CKPT",
+                   help="classification checkpoint to serve (repeatable)")
+    p.add_argument("--artifact", action="append", default=[],
+                   metavar="NAME=DIR",
+                   help="exported StableHLO artifact directory (repeatable)")
+    p.add_argument("--classes", type=int, default=7,
+                   help="num_classes for --cls_model entries")
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 64])
+    p.add_argument("--uint8", action="store_true",
+                   help="compile for raw uint8 RGB request tensors")
+    p.add_argument("--compact", action="store_true",
+                   help="uint8 preds + float16 maps in responses")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_latency_ms", type=float, default=5.0,
+                   help="micro-batcher deadline for single-image requests")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if not (args.model or args.cls_model or args.artifact):
+        raise SystemExit("nothing to serve: pass --model/--cls_model/--artifact")
+
+    import jax.numpy as jnp
+
+    from ugpg_tpu.eval.http_server import ServingHTTPServer
+    from ugpg_tpu.eval.serving import ServingRegistry
+
+    registry = ServingRegistry(max_latency_ms=args.max_latency_ms)
+    input_dtype = jnp.uint8 if args.uint8 else jnp.float32
+    for spec in args.model:
+        name, ckpt = _split_spec(spec)
+        registry.register(name, ckpt, buckets=tuple(args.buckets),
+                          input_dtype=input_dtype,
+                          compact_output=args.compact, dtype=None)
+    for spec in args.cls_model:
+        name, ckpt = _split_spec(spec)
+        registry.register(name, ckpt, task_type="classification",
+                          num_classes=args.classes,
+                          buckets=tuple(args.buckets),
+                          input_dtype=input_dtype, dtype=None)
+    for spec in args.artifact:
+        name, path = _split_spec(spec)
+        registry.register_artifact(name, path)
+
+    server = ServingHTTPServer(registry, host=args.host, port=args.port,
+                               verbose=args.verbose)
+    print(f"serving {registry.names()} on http://{server.host}:{server.port}"
+          " (Ctrl-C to stop)", flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        registry.close()
+
+
+if __name__ == "__main__":
+    main()
