@@ -133,6 +133,28 @@ def test_json_classification_roundtrip(served, rng):
     )
 
 
+def test_stats_counters(served, rng):
+    """/v1/stats reflects traffic: request/image counts, latency window,
+    and coalescing ratios once the micro-batcher has served singles."""
+    registry, port = served
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    _request(port, "POST", "/v1/models/seg:predict",
+             body=_npy_bytes(x), ctype="application/x-npy")
+    status, _, data = _request(port, "GET", "/v1/stats")
+    assert status == 200
+    stats = json.loads(data)
+    seg = stats["seg"]["predictor"]
+    assert seg["requests"] >= 1 and seg["images"] >= 2
+    assert seg["device_calls"] >= 1
+    assert seg["latency_ms"]["p50"] > 0
+    # batcher stats appear after single-image (submit) traffic, which
+    # earlier tests in this module generated
+    if "batcher" in stats["seg"]:
+        b = stats["seg"]["batcher"]
+        assert b["submitted"] >= b["groups"] >= 1
+        assert b["mean_group"] >= 1.0
+
+
 def test_error_paths(served, rng):
     _, port = served
     ok = rng.random((1, 32, 32, 3)).astype(np.float32)

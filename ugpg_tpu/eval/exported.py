@@ -19,6 +19,9 @@ compiled signature); subclasses provide ``_dispatch``.
 from __future__ import annotations
 
 import json
+import threading
+import time
+from collections import deque
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -35,10 +38,40 @@ class _BucketRouter:
     Requires attributes: ``buckets`` (ascending), ``batch_size`` (largest
     bucket), ``resolution``, ``input_dtype``, ``_n_outputs``; and a
     ``_dispatch(bucket, device_chunk) -> tuple`` implementation.
+
+    Subclasses call ``_BucketRouter.__init__`` to get request counters;
+    ``stats()`` reports them (requests, images, device calls, latency
+    percentiles over a sliding window).
     """
+
+    def __init__(self):
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_images = 0
+        self._n_device_calls = 0
+        self._total_s = 0.0
+        self._latencies = deque(maxlen=1024)  # per-request wall seconds
 
     def _dispatch(self, bucket: int, chunk):
         raise NotImplementedError
+
+    def stats(self) -> dict:
+        """Request counters + latency percentiles (sliding 1024 window)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            out = {
+                "requests": self._n_requests,
+                "images": self._n_images,
+                "device_calls": self._n_device_calls,
+                "total_seconds": round(self._total_s, 6),
+            }
+        if lat:
+            def pct(p):
+                return round(lat[min(len(lat) - 1,
+                                     int(p / 100.0 * len(lat)))] * 1e3, 3)
+            out["latency_ms"] = {"p50": pct(50), "p95": pct(95),
+                                 "p99": pct(99)}
+        return out
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -85,15 +118,24 @@ class _BucketRouter:
         """images: (N, H, W, 3) float32 in [0,1] or uint8 RGB; any N.
         Segmentation -> numpy (preds, probs, uncertainty); classification ->
         (labels, probs)."""
+        t0 = time.perf_counter()
         images = self._coerce(images)
         outs = [
             self._run_padded(images[s : s + self.batch_size])
             for s in range(0, len(images), self.batch_size)
         ]
-        return tuple(
+        result = tuple(
             np.concatenate([np.asarray(o[i]) for o in outs])
             for i in range(self._n_outputs)
         )
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self._n_requests += 1
+            self._n_images += len(images)
+            self._n_device_calls += len(outs)
+            self._total_s += dt
+            self._latencies.append(dt)
+        return result
 
 
 class ExportedPredictor(_BucketRouter):
@@ -108,6 +150,7 @@ class ExportedPredictor(_BucketRouter):
     def __init__(self, path):
         from jax import export as jexport
 
+        _BucketRouter.__init__(self)
         path = Path(path)
         manifest = json.loads((path / "manifest.json").read_text())
         if manifest.get("format_version") != 1:

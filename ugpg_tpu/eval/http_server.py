@@ -14,6 +14,8 @@ Endpoints (TF-Serving-style paths):
 * ``GET  /v1/models`` — metadata for every model (task, stage,
   resolution, buckets, input dtype).
 * ``GET  /v1/models/<name>`` — metadata for one model.
+* ``GET  /v1/stats`` — per-model request counters, latency percentiles
+  (sliding window), and micro-batcher coalescing ratios.
 * ``POST /v1/models/<name>:predict`` — run inference.
 
 Request encodings for ``:predict``:
@@ -90,6 +92,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -97,6 +101,11 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(code, json.dumps(obj).encode(), "application/json")
 
     def _error(self, code: int, message: str) -> None:
+        # error paths may not have consumed the request body; on a
+        # keep-alive (HTTP/1.1) connection the unread bytes would be parsed
+        # as the NEXT request line, desyncing every later request — close
+        # the connection after an error response instead
+        self.close_connection = True
         self._send_json(code, {"error": message})
 
     # ------------------------------------------------------------- GET
@@ -104,6 +113,8 @@ class _Handler(BaseHTTPRequestHandler):
         reg = self.registry
         if self.path == "/v1/health":
             self._send_json(200, {"status": "ok", "models": reg.names()})
+        elif self.path == "/v1/stats":
+            self._send_json(200, reg.stats())
         elif self.path == "/v1/models":
             self._send_json(
                 200,

@@ -104,6 +104,7 @@ class Predictor(_BucketRouter):
         the wall over any network/PCIe link); float16 is exact to ~5e-4
         on [0, 1] probabilities.
         """
+        _BucketRouter.__init__(self)
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
         if compact_output and task_type != "segmentation":
@@ -360,8 +361,25 @@ class BatchingServer:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
+        self._n_submitted = 0
+        self._n_groups = 0
+        self._max_group = 0
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Coalescing counters: how well concurrent submits share calls."""
+        with self._submit_lock:
+            groups = self._n_groups
+            out = {
+                "submitted": self._n_submitted,
+                "groups": groups,
+                "max_group": self._max_group,
+            }
+        out["mean_group"] = (
+            round(out["submitted"] / groups, 3) if groups else 0.0
+        )
+        return out
 
     def submit(self, image: np.ndarray) -> Future:
         """image: (H, W, 3) float32 in [0,1] or uint8 RGB."""
@@ -375,6 +393,7 @@ class BatchingServer:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
+            self._n_submitted += 1
             self._q.put((image, fut))
         return fut
 
@@ -393,6 +412,9 @@ class BatchingServer:
             if item is None:
                 continue
             image, fut = item
+            with self._submit_lock:
+                self._n_groups += 1
+                self._max_group = max(self._max_group, 1)
             try:
                 outs = self.predictor(image[None])
                 fut.set_result(tuple(o[0] for o in outs))
@@ -440,6 +462,9 @@ class BatchingServer:
                     except Exception as exc:
                         fut.set_exception(exc)
                 if good:
+                    with self._submit_lock:
+                        self._n_groups += 1
+                        self._max_group = max(self._max_group, len(good))
                     try:
                         outs = self.predictor(np.stack([g for g, _ in good]))
                         for i, (_, fut) in enumerate(good):
@@ -540,6 +565,20 @@ class ServingRegistry:
                     if self._servers.get(name) is server:
                         del self._servers[name]
         raise RuntimeError(f"could not submit to {name!r} (closing repeatedly)")
+
+    def stats(self) -> dict:
+        """Per-model request/latency/coalescing counters."""
+        with self._lock:
+            predictors = dict(self._predictors)
+            servers = dict(self._servers)
+        out = {}
+        for name, p in predictors.items():
+            entry = {"predictor": p.stats()}
+            server = servers.get(name)
+            if server is not None:
+                entry["batcher"] = server.stats()
+            out[name] = entry
+        return out
 
     def close(self):
         """Drain and stop all micro-batchers (predictors stay usable)."""
