@@ -82,6 +82,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="cap (MiB) on the per-dispatch stacked-epoch size "
                         "under --scan_epochs; oversized epochs run as "
                         "several scan programs (0 = unbounded)")
+    p.add_argument("--accum_steps", type=int, default=1, metavar="K",
+                   help="gradient accumulation: run each batch (size K*m) "
+                        "as K sequential micro-batches inside one program "
+                        "with ONE optimizer update — for effective batch "
+                        "sizes whose activations exceed HBM")
     return p
 
 
@@ -129,6 +134,7 @@ def main(argv=None):
         scan_epochs=args.scan_epochs,
         scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
         tb_logdir=args.tb_logdir,
+        accum_steps=args.accum_steps,
     )
 
     if args.plain:

@@ -148,6 +148,13 @@ class HerlevTrainer:
         # equal-length scan programs instead of one unbounded epoch stack);
         # None = unbounded
         self.scan_chunk_bytes = self.config.get("scan_chunk_bytes", 1 << 30)
+        # gradient accumulation: each loader batch (size K*m) runs as K
+        # sequential micro-batches inside one program, one optimizer update
+        self.accum_steps = int(self.config.get("accum_steps", 1))
+        if self.accum_steps < 1:
+            raise ValueError(
+                f"accum_steps must be >= 1, got {self.accum_steps}"
+            )
 
         self.history = {
             "train_loss": [], "val_loss": [],
@@ -273,6 +280,7 @@ class HerlevTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=bool(self.config.get("augment", True)),
                 normalize=True,
+                accum_steps=self.accum_steps,
             )
             self._train_steps[stage] = base
         return self._train_steps[stage]
@@ -313,6 +321,7 @@ class HerlevTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=bool(self.config.get("augment", True)),
                 normalize=True,
+                accum_steps=self.accum_steps,
             )
         return self._train_epochs[stage]
 

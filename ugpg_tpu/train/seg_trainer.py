@@ -108,6 +108,7 @@ class UncertaintyGuidedProgressiveTrainer:
         scan_epochs: bool = False,
         scan_chunk_bytes: int | None = 1 << 30,
         tb_logdir=None,
+        accum_steps: int = 1,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -131,7 +132,14 @@ class UncertaintyGuidedProgressiveTrainer:
         stacked/transferred per scan dispatch: oversized epochs run as
         several equal-length scan programs instead of one unbounded stack,
         so host/HBM memory degrades gracefully at aug-patch dataset scale.
-        ``None`` = unbounded (whole epoch in one program)."""
+        ``None`` = unbounded (whole epoch in one program).
+
+        ``accum_steps=K``: gradient accumulation — every loader batch (size
+        K*m, must divide by K) runs as K sequential micro-batches inside
+        one XLA program with ONE optimizer update and sequential BN-stat
+        threading; use for effective batch sizes whose activations exceed
+        HBM.  Composes with ``scan_epochs`` and ``mesh`` (micro-batches
+        stay data-sharded)."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -150,6 +158,9 @@ class UncertaintyGuidedProgressiveTrainer:
         self.scan_epochs = scan_epochs
         self.scan_chunk_bytes = scan_chunk_bytes
         self.tb_logdir = tb_logdir
+        if accum_steps < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+        self.accum_steps = accum_steps
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -252,6 +263,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=self.augment,
                 fused_loss=self.fused_loss,
+                accum_steps=self.accum_steps,
             )
         return self._train_steps[stage]
 
@@ -286,6 +298,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=self.augment,
                 fused_loss=self.fused_loss,
+                accum_steps=self.accum_steps,
             )
         return self._train_epochs[stage]
 

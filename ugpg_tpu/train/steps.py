@@ -104,6 +104,7 @@ def make_seg_train_step(
     donate: bool = True,
     augment: bool = False,
     fused_loss: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted segmentation train step for one stage.
 
@@ -118,12 +119,57 @@ def make_seg_train_step(
     ``fused_loss=True`` the loss + its VJP run as Pallas kernels
     (single-pass HBM reduction, no per-pixel loss tensor kept for the
     backward; see ops/pallas/uncertainty_fused.py).
+
+    ``accum_steps=K`` (gradient accumulation): the batch (size K*m) runs
+    as K sequential micro-batches inside ONE XLA program — activations
+    live for m samples at a time, gradients average across the K
+    micro-forwards, and the optimizer applies ONE update.  BatchNorm
+    running stats thread sequentially through the micro-batches (torch
+    semantics: K forwards, then step).  Use for effective batch sizes
+    whose activations cannot fit HBM at once.
     """
     step = _build_seg_train_body(
         module, tx, stage, resolution, prev_module, prev_resolution,
-        alpha, augment, fused_loss,
+        alpha, augment, fused_loss, accum_steps,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _accum_scan(micro, params, batch_stats, arrays, rng, accum_steps,
+                metric_sums=()):
+    """Run ``micro`` over K equal micro-batches, averaging grads/metrics.
+
+    ``micro(params, batch_stats, *micro_arrays, key) -> (grads, new_bs,
+    metrics)``; each array in ``arrays`` splits on its leading axis.
+    Metric keys listed in ``metric_sums`` are summed instead of averaged
+    (integer counts).
+    """
+    n = arrays[0].shape[0]
+    if n % accum_steps:
+        raise ValueError(
+            f"batch size {n} is not divisible by accum_steps={accum_steps}"
+        )
+    m = n // accum_steps
+    split = tuple(a.reshape(accum_steps, m, *a.shape[1:]) for a in arrays)
+    keys = jax.random.split(rng, accum_steps)
+
+    def body(carry, xs):
+        bs, gacc = carry
+        *micro_arrays, key = xs
+        grads, new_bs, metrics = micro(params, bs, *micro_arrays, key)
+        gacc = jax.tree.map(jnp.add, gacc, grads)
+        return (new_bs, gacc), metrics
+
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    (new_bs, gsum), ms = jax.lax.scan(
+        body, (batch_stats, zero_g), (*split, keys)
+    )
+    grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+    metrics = {
+        k: jnp.sum(v, 0) if k in metric_sums else jnp.mean(v, 0)
+        for k, v in ms.items()
+    }
+    return grads, new_bs, metrics
 
 
 def _build_seg_train_body(
@@ -136,13 +182,17 @@ def _build_seg_train_body(
     alpha: float = 1.0,
     augment: bool = False,
     fused_loss: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Un-jitted seg train-step body, shared by the per-step jit and the
     ``lax.scan`` whole-epoch program (``make_seg_train_epoch``)."""
     use_unc = stage > 1 and prev_module is not None
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    def step(state: TrainState, prev_variables, batch, pos_weight, rng):
-        images, masks = batch
+    def micro(params, batch_stats, prev_variables, images, masks,
+              pos_weight, rng):
+        """Grads + metrics for one (micro-)batch at fixed ``params``."""
         x = resize_bilinear_align_corners(images, (resolution, resolution))
         y = resize_nearest(masks, (resolution, resolution))
         if augment:
@@ -165,7 +215,7 @@ def _build_seg_train_body(
 
         def loss_fn(params):
             logits, mutated = module.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 x,
                 True,
                 mutable=["batch_stats"],
@@ -184,9 +234,7 @@ def _build_seg_train_body(
 
         (final_loss, (base_loss, logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        )(params)
 
         preds = get_predictions(logits)
         unc_mean, unc_std = _unc_stats(unc_map, not use_unc)
@@ -198,6 +246,25 @@ def _build_seg_train_body(
             "uncertainty_weight_mean": unc_mean,
             "uncertainty_weight_std": unc_std,
         }
+        return grads, new_bs, metrics
+
+    def step(state: TrainState, prev_variables, batch, pos_weight, rng):
+        images, masks = batch
+        if accum_steps == 1:
+            grads, new_bs, metrics = micro(
+                state.params, state.batch_stats, prev_variables,
+                images, masks, pos_weight, rng,
+            )
+        else:
+            grads, new_bs, metrics = _accum_scan(
+                lambda p, bs, im, ms, k: micro(
+                    p, bs, prev_variables, im, ms, pos_weight, k
+                ),
+                state.params, state.batch_stats, (images, masks), rng,
+                accum_steps,
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
         return (
             state.replace(
                 params=new_params,
@@ -283,6 +350,7 @@ def make_cls_train_step(
     donate: bool = True,
     augment: bool = False,
     normalize: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Classification train step (ref: Herlev/train_herlev.py:216-296).
 
@@ -298,10 +366,20 @@ def make_cls_train_step(
     ``rng`` (which also drives dropout); with ``normalize=True`` the
     ImageNet normalization does too (ref dataset transform stack:
     herlev_dataset.py:200-228) — no separate host-dispatched programs.
+
+    ``accum_steps=K``: gradient accumulation over K sequential
+    micro-batches inside one program (see ``make_seg_train_step``).
+    Note the class-weighted CE normalizes by sum(weight[y]) PER
+    micro-batch — exactly what standard torch accumulation produces
+    (``criterion(micro)/K`` with ``CrossEntropyLoss(weight=...,
+    reduction='mean')``), which differs from one K*m-batch weighted mean
+    when class composition varies across micro-batches.  The
+    uncertainty-weighted loss (stage>1) is a plain mean and composes
+    exactly.
     """
     step = _build_cls_train_body(
         module, tx, stage, resolution, num_classes, prev_module,
-        prev_resolution, alpha, augment, normalize,
+        prev_resolution, alpha, augment, normalize, accum_steps,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -317,11 +395,14 @@ def _build_cls_train_body(
     alpha: float = 1.0,
     augment: bool = False,
     normalize: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     use_unc = stage > 1 and prev_module is not None
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    def step(state: TrainState, prev_variables, batch, class_weights, rng):
-        images, labels = batch
+    def micro(params, batch_stats, prev_variables, images, labels,
+              class_weights, rng):
         if augment:
             rng, akey = jax.random.split(rng)
             images = augment_herlev_batch(akey, images)
@@ -342,7 +423,7 @@ def _build_cls_train_body(
 
         def loss_fn(params):
             logits, mutated = module.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 x,
                 True,
                 rngs={"dropout": rng},
@@ -358,9 +439,7 @@ def _build_cls_train_body(
 
         (final_loss, (base_loss, logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        )(params)
 
         correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
         if unc_weights is not None:
@@ -375,6 +454,25 @@ def _build_cls_train_body(
             "uncertainty_weight_mean": unc_mean,
             "uncertainty_weight_std": unc_std,
         }
+        return grads, new_bs, metrics
+
+    def step(state: TrainState, prev_variables, batch, class_weights, rng):
+        images, labels = batch
+        if accum_steps == 1:
+            grads, new_bs, metrics = micro(
+                state.params, state.batch_stats, prev_variables,
+                images, labels, class_weights, rng,
+            )
+        else:
+            grads, new_bs, metrics = _accum_scan(
+                lambda p, bs, im, lb, k: micro(
+                    p, bs, prev_variables, im, lb, class_weights, k
+                ),
+                state.params, state.batch_stats, (images, labels), rng,
+                accum_steps, metric_sums=("correct", "count"),
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
         return (
             state.replace(
                 params=new_params,
@@ -497,6 +595,7 @@ def make_seg_train_epoch(
     donate: bool = True,
     augment: bool = False,
     fused_loss: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Whole-epoch seg training: ``epoch(state, prev_variables,
     (images (S,B,H,W,C), masks (S,B,H,W,1)), pos_weight, keys (S,)) ->
@@ -505,7 +604,7 @@ def make_seg_train_epoch(
     """
     body = _build_seg_train_body(
         module, tx, stage, resolution, prev_module, prev_resolution,
-        alpha, augment, fused_loss,
+        alpha, augment, fused_loss, accum_steps,
     )
 
     def epoch(state: TrainState, prev_variables, batches, pos_weight, keys):
@@ -559,13 +658,14 @@ def make_cls_train_epoch(
     donate: bool = True,
     augment: bool = False,
     normalize: bool = False,
+    accum_steps: int = 1,
 ) -> Callable:
     """Whole-epoch cls training.  ``correct``/``count`` come back summed
     over the epoch (accuracy = correct/count), other metrics as means —
     mirroring ``HerlevTrainer._reduce_epoch``."""
     body = _build_cls_train_body(
         module, tx, stage, resolution, num_classes, prev_module,
-        prev_resolution, alpha, augment, normalize,
+        prev_resolution, alpha, augment, normalize, accum_steps,
     )
 
     def epoch(state: TrainState, prev_variables, batches, class_weights, keys):
