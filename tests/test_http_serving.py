@@ -189,6 +189,22 @@ def test_error_paths(served, rng):
     assert status == 404
 
 
+def test_error_response_closes_keepalive_connection(served):
+    """Error paths may leave the request body unread; the server must
+    close the keep-alive connection or the leftover bytes desync HTTP/1.1
+    framing for the next request on the socket."""
+    _, port = served
+    conn = HTTPConnection("127.0.0.1", port, timeout=60)
+    body = b"x" * 4096  # never parsed: unknown model 404s before the read
+    conn.request("POST", "/v1/models/ghost:predict", body=body,
+                 headers={"Content-Type": "application/x-npy"})
+    resp = conn.getresponse()
+    assert resp.status == 404
+    assert (resp.getheader("Connection") or "").lower() == "close"
+    resp.read()
+    conn.close()
+
+
 def test_serve_cli_wires_registry(tmp_path, monkeypatch, rng):
     """The CLI parses specs, registers models, and starts the server; we
     stub serve_forever so it returns immediately."""
