@@ -230,6 +230,37 @@ def test_serving_registry_multi_model(ckpt, cls_ckpt, rng):
     reg.close()
 
 
+def test_serving_registry_unregister_and_replace(ckpt, rng):
+    """Model lifecycle: unregister frees the name (draining its batcher);
+    replace swaps the predictor with zero unavailable window."""
+    from ugpg_tpu.eval.serving import ServingRegistry
+
+    reg = ServingRegistry(max_latency_ms=30.0)
+    reg.register("m", str(ckpt), dtype=None, buckets=(4,))
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    # exercise submit so a micro-batcher exists before removal
+    assert reg.submit("m", x[0]).result(30)[0].shape == (32, 32, 1)
+
+    reg.unregister("m")
+    assert reg.names() == []
+    with pytest.raises(KeyError, match="unknown model"):
+        reg.predict("m", x)
+    with pytest.raises(KeyError, match="unknown model"):
+        reg.unregister("m")
+    # the name is free again
+    reg.register("m", str(ckpt), dtype=None, buckets=(4,))
+    old = reg.get("m")
+
+    new = reg.replace("m", str(ckpt), dtype=None, buckets=(2,))
+    assert reg.get("m") is new and new is not old
+    assert reg.get("m").buckets == (2,)
+    preds, _, _ = reg.predict("m", x)
+    assert preds.shape == (2, 32, 32, 1)
+    with pytest.raises(KeyError, match="unknown model"):
+        reg.replace("ghost", str(ckpt))
+    reg.close()
+
+
 def test_predictor_compact_output(ckpt, rng):
     """compact_output: uint8 preds + f16 maps (2.4x fewer response bytes),
     numerically tracking the f32 responses."""

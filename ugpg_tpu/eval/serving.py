@@ -566,6 +566,42 @@ class ServingRegistry:
                         del self._servers[name]
         raise RuntimeError(f"could not submit to {name!r} (closing repeatedly)")
 
+    def unregister(self, name: str) -> None:
+        """Remove a model: drain its micro-batcher, drop the predictor.
+
+        In-flight ``submit`` futures resolve before removal; subsequent
+        ``predict``/``submit`` raise KeyError.  The name becomes free for
+        re-registration (rollover/canary replacement)."""
+        with self._lock:
+            if name not in self._predictors:
+                raise KeyError(
+                    f"unknown model {name!r}; registered: {self.names()}"
+                )
+            # drop both under ONE lock so a concurrent submit cannot
+            # recreate a server for a half-removed name
+            del self._predictors[name]
+            server = self._servers.pop(name, None)
+        if server is not None:
+            server.close()  # outside the lock: close() blocks on drain
+
+    def replace(self, name: str, checkpoint: str, **predictor_kwargs):
+        """Atomically swap the model behind ``name`` (canary promotion).
+
+        The replacement compiles BEFORE the old model is removed, so the
+        name never serves errors during the swap; traffic moves to the new
+        predictor at the next request."""
+        p = Predictor(checkpoint, **predictor_kwargs)
+        with self._lock:
+            if name not in self._predictors:
+                raise KeyError(
+                    f"unknown model {name!r}; registered: {self.names()}"
+                )
+            server = self._servers.pop(name, None)
+            self._predictors[name] = p
+        if server is not None:
+            server.close()  # drains futures against the OLD predictor
+        return p
+
     def stats(self) -> dict:
         """Per-model request/latency/coalescing counters."""
         with self._lock:
