@@ -25,7 +25,9 @@ from ugpg_tpu.train.steps import (
 LR = 0.05
 
 
-def _seg_setup(rng, stage=2, res=32, prev_res=16, batch=4):
+def _seg_setup(rng, stage=2, res=16, prev_res=8, batch=4):
+    # quarter-resolution shapes: the accumulation machinery under test is
+    # resolution-independent and stage-2 compiles are the suite's cost
     m_prev = PGUNet1(num_classes=1) if stage == 2 else None
     m = PGUNet2(num_classes=1) if stage == 2 else PGUNet1(num_classes=1)
     v = m.init(jax.random.key(0), jnp.zeros((1, res, res, 3)), False)
@@ -51,10 +53,10 @@ def test_seg_accum_matches_sequential_micro_steps(rng):
     pw = jnp.asarray(5.0)
     key = jax.random.key(7)
 
-    accum = make_seg_train_step(m, tx, 2, 32, accum_steps=2, **kwargs)
+    accum = make_seg_train_step(m, tx, 2, 16, accum_steps=2, **kwargs)
     new_state, metrics = accum(state, v_prev, (images, masks), pw, key)
 
-    plain = make_seg_train_step(m, tx, 2, 32, **kwargs)
+    plain = make_seg_train_step(m, tx, 2, 16, **kwargs)
     keys = jax.random.split(key, 2)
     s1, m1 = plain(state, v_prev, (images[:2], masks[:2]), pw, keys[0])
     # second micro: same params, BN stats from micro 1
@@ -85,10 +87,10 @@ def test_seg_accum_one_is_plain(rng):
     m, tx, state, v_prev, images, masks, kwargs = _seg_setup(rng)
     pw = jnp.asarray(5.0)
     key = jax.random.key(3)
-    s_a, m_a = make_seg_train_step(m, tx, 2, 32, accum_steps=1, **kwargs)(
+    s_a, m_a = make_seg_train_step(m, tx, 2, 16, accum_steps=1, **kwargs)(
         state, v_prev, (images, masks), pw, key
     )
-    s_b, m_b = make_seg_train_step(m, tx, 2, 32, **kwargs)(
+    s_b, m_b = make_seg_train_step(m, tx, 2, 16, **kwargs)(
         state, v_prev, (images, masks), pw, key
     )
     for got, want in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
@@ -98,7 +100,7 @@ def test_seg_accum_one_is_plain(rng):
 
 def test_seg_accum_indivisible_batch_raises(rng):
     m, tx, state, v_prev, images, masks, kwargs = _seg_setup(rng, batch=3)
-    step = make_seg_train_step(m, tx, 2, 32, accum_steps=2, **kwargs)
+    step = make_seg_train_step(m, tx, 2, 16, accum_steps=2, **kwargs)
     with pytest.raises(ValueError, match="not divisible"):
         step(state, v_prev, (images, masks), jnp.asarray(5.0), jax.random.key(0))
 
@@ -107,7 +109,7 @@ def test_seg_accum_composes_with_scan_epoch(rng):
     """The whole-epoch lax.scan program accepts accumulated step bodies."""
     m, tx, state, v_prev, images, masks, kwargs = _seg_setup(rng)
     epoch = make_seg_train_epoch(
-        m, tx, 2, 32, accum_steps=2, **{**kwargs, "donate": False}
+        m, tx, 2, 16, accum_steps=2, **{**kwargs, "donate": False}
     )
     stacked = (
         jnp.stack([images, images]),  # S=2 steps
@@ -123,7 +125,7 @@ def test_seg_accum_composes_with_scan_epoch(rng):
 def test_cls_accum_matches_sequential_micro_steps(rng):
     """Classification accumulation: grads mean, correct/count SUM, dropout
     keyed per micro-batch exactly like the accumulated path."""
-    res, k_cls, batch = 32, 5, 4
+    res, k_cls, batch = 16, 5, 4
     m = HerlevClassificationModel(stage=1, num_classes=k_cls)
     v = m.init(jax.random.key(0), jnp.zeros((1, res, res, 3)), False)
     tx = optax.sgd(LR)
