@@ -58,13 +58,14 @@ class _BucketRouter:
     def stats(self) -> dict:
         """Request counters + latency percentiles (sliding 1024 window)."""
         with self._stats_lock:
-            lat = sorted(self._latencies)
+            lat = list(self._latencies)
             out = {
                 "requests": self._n_requests,
                 "images": self._n_images,
                 "device_calls": self._n_device_calls,
                 "total_seconds": round(self._total_s, 6),
             }
+        lat.sort()  # outside the lock: don't stall the request hot path
         if lat:
             def pct(p):
                 return round(lat[min(len(lat) - 1,

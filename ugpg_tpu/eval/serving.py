@@ -533,13 +533,14 @@ class ServingRegistry:
     def names(self) -> list[str]:
         return sorted(self._predictors)
 
+    def _unknown(self, name: str) -> KeyError:
+        return KeyError(f"unknown model {name!r}; registered: {self.names()}")
+
     def get(self, name: str) -> Predictor:
         try:
             return self._predictors[name]
         except KeyError:
-            raise KeyError(
-                f"unknown model {name!r}; registered: {self.names()}"
-            ) from None
+            raise self._unknown(name) from None
 
     def predict(self, name: str, images):
         """Synchronous batch prediction on the named model."""
@@ -574,9 +575,7 @@ class ServingRegistry:
         re-registration (rollover/canary replacement)."""
         with self._lock:
             if name not in self._predictors:
-                raise KeyError(
-                    f"unknown model {name!r}; registered: {self.names()}"
-                )
+                raise self._unknown(name)
             # drop both under ONE lock so a concurrent submit cannot
             # recreate a server for a half-removed name
             del self._predictors[name]
@@ -593,9 +592,7 @@ class ServingRegistry:
         p = Predictor(checkpoint, **predictor_kwargs)
         with self._lock:
             if name not in self._predictors:
-                raise KeyError(
-                    f"unknown model {name!r}; registered: {self.names()}"
-                )
+                raise self._unknown(name)
             server = self._servers.pop(name, None)
             self._predictors[name] = p
         if server is not None:
