@@ -231,3 +231,42 @@ def test_spatial_train_rejects_indivisible(rng):
     bad = np.zeros((1, 34, 34, 3), np.float32)  # 34 % 4 != 0
     with pytest.raises(ValueError, match="divisible"):
         step(state, {}, (bad, bad[..., :1]), 5.0)
+
+
+def test_spatial_train_step_accum_matches_sequential(rng):
+    """accum_steps=2 on the spatial grid == mean of two sequential
+    spatial micro-steps (SGD linearity), BN stats threaded."""
+    import optax
+
+    stage, res = 1, 16
+    _, v = _init(stage, res)
+    mesh = _mesh(2)
+    tx = optax.sgd(0.05)
+    x, y = _batch(rng, 4, res)
+
+    accum = make_spatial_train_step(stage, mesh, tx, donate=False,
+                                    accum_steps=2)
+    state = TrainState.create(v, tx)
+    new_state, metrics = accum(state, {}, (x, y), 5.0)
+
+    plain = make_spatial_train_step(stage, mesh, tx, donate=False)
+    s1, m1 = plain(TrainState.create(v, tx), {}, (x[:2], y[:2]), 5.0)
+    state_b = TrainState.create(v, tx).replace(batch_stats=s1.batch_stats)
+    s2, m2 = plain(state_b, {}, (x[2:], y[2:]), 5.0)
+
+    want_params = jax.tree.map(lambda a, b: (a + b) / 2, s1.params, s2.params)
+    for got, want in zip(
+        jax.tree.leaves(new_state.params), jax.tree.leaves(want_params)
+    ):
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    for got, want in zip(
+        jax.tree.leaves(new_state.batch_stats),
+        jax.tree.leaves(s2.batch_stats),
+    ):
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        float(metrics["final_loss"]),
+        (float(m1["final_loss"]) + float(m2["final_loss"])) / 2,
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(new_state.step) == 1

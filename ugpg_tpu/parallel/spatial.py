@@ -574,6 +574,7 @@ def make_spatial_train_step(
     alpha: float = 1.0,
     dtype: Any = None,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted native-resolution spatially-sharded train step.
 
@@ -593,8 +594,20 @@ def make_spatial_train_step(
     input state's buffers in place — native-resolution activations are
     exactly where HBM is the binding constraint.  Pass donate=False to
     keep reusing a state object across calls.
+
+    ``accum_steps=K``: gradient accumulation over the batch dimension —
+    each (size K*m) batch runs as K sequential micro-batches, gradients
+    average, BN stats thread sequentially, ONE optimizer update (same
+    semantics as ``make_seg_train_step(accum_steps=...)``).  Native
+    resolution is exactly where per-sample activations are largest, so
+    this is how batch size scales past HBM on the spatial grid.
     """
     import optax
+
+    from ugpg_tpu.train.steps import _accum_scan
+
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
     h_size = mesh.shape[axis]
     w_size = mesh.shape[w_axis] if w_axis else 1
@@ -625,27 +638,42 @@ def make_spatial_train_step(
         out_specs=(P(), P()),
     )
 
+    def micro(params, batch_stats, prev_variables, x, y, pos_weight, _key):
+        def loss_fn(params):
+            return sharded(params, batch_stats, prev_variables, x, y,
+                           pos_weight)
+
+        (final, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        metrics = dict(aux["metrics"], final_loss=final)
+        return grads, aux["new_stats"], metrics
+
     def step(state, prev_variables, batch, pos_weight):
         x, y = batch
         _check_divisible(stage, x, h_size, w_size)
-
-        def loss_fn(params):
-            return sharded(
-                params, state.batch_stats, prev_variables,
-                jnp.asarray(x), jnp.asarray(y),
-                jnp.asarray(pos_weight, jnp.float32),
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        pw = jnp.asarray(pos_weight, jnp.float32)
+        if accum_steps == 1:
+            grads, new_bs, metrics = micro(
+                state.params, state.batch_stats, prev_variables, x, y, pw,
+                None,
             )
-
-        (final, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        else:
+            grads, new_bs, metrics = _accum_scan(
+                lambda p, bs, xm, ym, k: micro(
+                    p, bs, prev_variables, xm, ym, pw, k
+                ),
+                state.params, state.batch_stats, (x, y),
+                jax.random.key(0), accum_steps,
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(aux["metrics"], final_loss=final)
         return (
             state.replace(
                 params=new_params,
-                batch_stats=aux["new_stats"],
+                batch_stats=new_bs,
                 opt_state=new_opt,
                 step=state.step + 1,
             ),

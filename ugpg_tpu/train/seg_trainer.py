@@ -718,6 +718,7 @@ class UncertaintyGuidedProgressiveTrainer:
         step = make_spatial_train_step(
             stage, mesh, tx, axis=axis, w_axis=w_axis,
             prev_stage=prev_stage, alpha=self.uncertainty_alpha, dtype=dtype,
+            accum_steps=self.accum_steps,
         )
         eval_step = (
             make_spatial_eval_step(
