@@ -149,7 +149,13 @@ def test_export_cli_quantize_requires_calibration(tmp_path, seg_ckpt):
     ckpt, x = seg_ckpt
     with pytest.raises(SystemExit, match="calibration"):
         main(["--model", ckpt, "--out", str(tmp_path / "q"), "--quantize"])
-    # with calibration data it exports and serves
+
+
+@pytest.mark.slow  # ~60s: int8 quantize + export + serve; quantized
+def test_export_cli_quantized_roundtrip(tmp_path, seg_ckpt):  # numerics stay
+    from ugpg_tpu.cli.export_model import main  # default-covered (test_quant)
+
+    ckpt, x = seg_ckpt
     np.save(tmp_path / "cal.npy", x)
     main(["--model", ckpt, "--out", str(tmp_path / "q"), "--quantize",
           "--calibration", str(tmp_path / "cal.npy"), "--buckets", "2",
