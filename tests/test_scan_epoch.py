@@ -367,3 +367,29 @@ def test_cls_scan_epoch_fast(rng):
         return tr.train_epoch(batches, 1)
 
     np.testing.assert_allclose(run(True), run(False), rtol=2e-5, atol=2e-6)
+
+
+def test_seg_scan_epoch_with_accum_matches_loop(rng):
+    """scan_epochs x accum_steps compose: the scan program runs the SAME
+    accumulated step body as the per-step loop (stage 1, one epoch —
+    pre-amplification, so the agreement is tight)."""
+    batches = _seg_batches(rng, n_batches=2, batch=4)
+    cfgs = {1: {"resolution": 16, "epochs_per_stage": 1, "lr": 3e-4}}
+
+    def run(scan):
+        tr = UncertaintyGuidedProgressiveTrainer(
+            stage_configs=cfgs, verbose=False, seed=0, augment=False,
+            scan_epochs=scan, accum_steps=2,
+        )
+        tr.current_stage = 1
+        tr.setup_optimizer(1)
+        return tr, tr.train_epoch(batches, 1)
+
+    tr_loop, m_loop = run(False)
+    tr_scan, m_scan = run(True)
+    for got, want in zip(m_scan, m_loop):
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(tr_loop._state.params),
+                    jax.tree.leaves(tr_scan._state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
