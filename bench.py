@@ -374,6 +374,14 @@ def main(argv=None):
     p.add_argument("--config", type=int, default=2, choices=sorted(BENCHES))
     args = p.parse_args(argv)
 
+    import sys
+
+    # heartbeats on stderr (stdout stays one JSON line): the axon TPU
+    # tunnel can hang backend init for hours — a timed-out bench run must
+    # leave a tail that says WHERE it hung, like the dryrun's phase marks
+    print(f"[bench] config {args.config}: initializing jax backend ...",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     import jax
 
     # persistent compilation cache: repeated driver runs skip the (remote)
@@ -382,13 +390,17 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    devices = jax.devices()  # blocks here when the tunnel is down
+    print(f"[bench] backend up: {devices[0]} "
+          f"({time.perf_counter() - t0:.1f}s); running ...",
+          file=sys.stderr, flush=True)
     result = BENCHES[args.config](jnp, jax)
     base = _baseline(args.config)
     result["vs_baseline"] = (
         round(result["value"] / base, 2) if base else None
     )
     result["config"] = args.config
-    result["device"] = str(jax.devices()[0])
+    result["device"] = str(devices[0])
     print(json.dumps(result))
 
 
