@@ -219,6 +219,34 @@ def test_finetune_native_inherits_bf16(rng):
     assert np.isfinite(hist32["train_loss"][0])
 
 
+def test_finetune_native_accum_override(rng):
+    """An accum-configured trainer fine-tunes batch-1 native slides when
+    the CLI's accum_steps=1 override is passed (regression: the inherited
+    accum_steps=2 made batch-1 spatial steps raise after the whole
+    pyramid had trained), and still inherits accumulation for divisible
+    batches."""
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    imgs, masks = disk_dataset(num_samples=2, image_size=32, seed=13)
+    tr = UncertaintyGuidedProgressiveTrainer(
+        stage_configs={1: {"resolution": 16, "epochs_per_stage": 1,
+                           "lr": 3e-4}},
+        verbose=False, accum_steps=2,
+    )
+    hist = tr.finetune_native(
+        ArrayLoader(imgs, masks, batch_size=1), stage=1, epochs=1,
+        mesh=_mesh(2), accum_steps=1,
+    )
+    assert np.isfinite(hist["train_loss"][0])
+    # default (inherit accum_steps=2) works on divisible batches
+    hist2 = tr.finetune_native(
+        ArrayLoader(imgs, masks, batch_size=2), stage=1, epochs=1,
+        mesh=_mesh(2),
+    )
+    assert np.isfinite(hist2["train_loss"][0])
+
+
 def test_spatial_train_rejects_indivisible(rng):
     tx = torch_rmsprop(3e-4)
     _, v = _init(1, 32)

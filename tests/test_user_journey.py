@@ -13,8 +13,8 @@ from http.client import HTTPConnection
 import numpy as np
 import pytest
 
-from test_data_herlev import write_herlev_tree
-from test_data_monuseg import write_monuseg_tree
+from tests.test_data_herlev import write_herlev_tree
+from tests.test_data_monuseg import write_monuseg_tree
 
 
 @pytest.mark.slow  # ~4 min: real train/eval/export CLIs end to end

@@ -638,7 +638,7 @@ def make_spatial_train_step(
         out_specs=(P(), P()),
     )
 
-    def micro(params, batch_stats, prev_variables, x, y, pos_weight, _key):
+    def micro(params, batch_stats, prev_variables, x, y, pos_weight):
         def loss_fn(params):
             return sharded(params, batch_stats, prev_variables, x, y,
                            pos_weight)
@@ -658,15 +658,16 @@ def make_spatial_train_step(
         if accum_steps == 1:
             grads, new_bs, metrics = micro(
                 state.params, state.batch_stats, prev_variables, x, y, pw,
-                None,
             )
         else:
+            # rng=None: the spatial micro-step is deterministic (no
+            # dropout/augmentation on the native-resolution path)
             grads, new_bs, metrics = _accum_scan(
-                lambda p, bs, xm, ym, k: micro(
-                    p, bs, prev_variables, xm, ym, pw, k
+                lambda p, bs, xm, ym: micro(
+                    p, bs, prev_variables, xm, ym, pw
                 ),
                 state.params, state.batch_stats, (x, y),
-                jax.random.key(0), accum_steps,
+                None, accum_steps,
             )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -670,8 +670,15 @@ class UncertaintyGuidedProgressiveTrainer:
         val_loader: Iterable | None = None,
         save_dir: str | None = None,
         dtype=_UNSET,
+        accum_steps: int | None = None,
     ):
         """Fine-tune one stage at NATIVE slide resolution, spatially sharded.
+
+        ``accum_steps`` defaults to the trainer's setting; pass ``1``
+        explicitly when the native loader yields batches (e.g. single
+        whole slides) not divisible by the trainer's ``accum_steps`` —
+        at native resolution the spatial grid, not micro-batching, is
+        usually the memory axis.
 
         The progressive recipe trains at the 32→256 stage pyramid (the
         reference additionally downsizes every slide to ≤256px,
@@ -718,7 +725,8 @@ class UncertaintyGuidedProgressiveTrainer:
         step = make_spatial_train_step(
             stage, mesh, tx, axis=axis, w_axis=w_axis,
             prev_stage=prev_stage, alpha=self.uncertainty_alpha, dtype=dtype,
-            accum_steps=self.accum_steps,
+            accum_steps=(self.accum_steps if accum_steps is None
+                         else accum_steps),
         )
         eval_step = (
             make_spatial_eval_step(

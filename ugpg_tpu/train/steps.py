@@ -141,8 +141,10 @@ def _accum_scan(micro, params, batch_stats, arrays, rng, accum_steps,
 
     ``micro(params, batch_stats, *micro_arrays, key) -> (grads, new_bs,
     metrics)``; each array in ``arrays`` splits on its leading axis.
-    Metric keys listed in ``metric_sums`` are summed instead of averaged
-    (integer counts).
+    ``rng=None`` skips the key stream for deterministic micro-steps
+    (``micro`` is then called without a trailing key).  Metric keys
+    listed in ``metric_sums`` are summed instead of averaged (integer
+    counts).
     """
     n = arrays[0].shape[0]
     if n % accum_steps:
@@ -151,18 +153,17 @@ def _accum_scan(micro, params, batch_stats, arrays, rng, accum_steps,
         )
     m = n // accum_steps
     split = tuple(a.reshape(accum_steps, m, *a.shape[1:]) for a in arrays)
-    keys = jax.random.split(rng, accum_steps)
+    keys = (jax.random.split(rng, accum_steps),) if rng is not None else ()
 
     def body(carry, xs):
         bs, gacc = carry
-        *micro_arrays, key = xs
-        grads, new_bs, metrics = micro(params, bs, *micro_arrays, key)
+        grads, new_bs, metrics = micro(params, bs, *xs)
         gacc = jax.tree.map(jnp.add, gacc, grads)
         return (new_bs, gacc), metrics
 
     zero_g = jax.tree.map(jnp.zeros_like, params)
     (new_bs, gsum), ms = jax.lax.scan(
-        body, (batch_stats, zero_g), (*split, keys)
+        body, (batch_stats, zero_g), (*split, *keys)
     )
     grads = jax.tree.map(lambda g: g / accum_steps, gsum)
     metrics = {
