@@ -219,12 +219,12 @@ def test_finetune_native_inherits_bf16(rng):
     assert np.isfinite(hist32["train_loss"][0])
 
 
-def test_finetune_native_accum_override(rng):
-    """An accum-configured trainer fine-tunes batch-1 native slides when
-    the CLI's accum_steps=1 override is passed (regression: the inherited
+def test_finetune_native_accum_default(rng):
+    """An accum-configured trainer fine-tunes batch-1 native slides out
+    of the box (regression: finetune_native inheriting the trainer's
     accum_steps=2 made batch-1 spatial steps raise after the whole
-    pyramid had trained), and still inherits accumulation for divisible
-    batches."""
+    pyramid had trained — the default is now 1), and accumulation is an
+    explicit opt-in for divisible multi-slide batches."""
     from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
     from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
 
@@ -236,13 +236,13 @@ def test_finetune_native_accum_override(rng):
     )
     hist = tr.finetune_native(
         ArrayLoader(imgs, masks, batch_size=1), stage=1, epochs=1,
-        mesh=_mesh(2), accum_steps=1,
+        mesh=_mesh(2),
     )
     assert np.isfinite(hist["train_loss"][0])
-    # default (inherit accum_steps=2) works on divisible batches
+    # explicit opt-in works on divisible batches
     hist2 = tr.finetune_native(
         ArrayLoader(imgs, masks, batch_size=2), stage=1, epochs=1,
-        mesh=_mesh(2),
+        mesh=_mesh(2), accum_steps=2,
     )
     assert np.isfinite(hist2["train_loss"][0])
 

@@ -86,7 +86,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="gradient accumulation: run each batch (size K*m) "
                         "as K sequential micro-batches inside one program "
                         "with ONE optimizer update — for effective batch "
-                        "sizes whose activations exceed HBM")
+                        "sizes whose activations exceed HBM. Applies to "
+                        "the stage-pyramid phase only; the "
+                        "--native_finetune phase trains batch-1 whole "
+                        "slides (spatial grid = the memory axis)")
     return p
 
 
@@ -219,10 +222,6 @@ def main(argv=None):
             ft_train, stage=stage, epochs=args.native_finetune,
             w_axis="model" if args.native_w_axis else None,
             val_loader=ft_val, save_dir=config["output_dir"],
-            # batch-1 slides cannot split into micro-batches; --accum_steps
-            # applies to the pyramid phase only (library users with
-            # multi-slide native batches can pass accum_steps=K directly)
-            accum_steps=1,
         )
 
     cfg_path = Path(config["output_dir"]) / "config.json"

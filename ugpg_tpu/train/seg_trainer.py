@@ -670,15 +670,16 @@ class UncertaintyGuidedProgressiveTrainer:
         val_loader: Iterable | None = None,
         save_dir: str | None = None,
         dtype=_UNSET,
-        accum_steps: int | None = None,
+        accum_steps: int = 1,
     ):
         """Fine-tune one stage at NATIVE slide resolution, spatially sharded.
 
-        ``accum_steps`` defaults to the trainer's setting; pass ``1``
-        explicitly when the native loader yields batches (e.g. single
-        whole slides) not divisible by the trainer's ``accum_steps`` —
-        at native resolution the spatial grid, not micro-batching, is
-        usually the memory axis.
+        ``accum_steps`` defaults to ``1`` — NOT the trainer's setting —
+        because native loaders canonically yield single whole slides
+        (batch 1, indivisible into micro-batches), and at native
+        resolution the spatial grid, not micro-batching, is the memory
+        axis.  Pass ``accum_steps=K`` explicitly for multi-slide native
+        batches of size divisible by ``K``.
 
         The progressive recipe trains at the 32→256 stage pyramid (the
         reference additionally downsizes every slide to ≤256px,
@@ -725,8 +726,7 @@ class UncertaintyGuidedProgressiveTrainer:
         step = make_spatial_train_step(
             stage, mesh, tx, axis=axis, w_axis=w_axis,
             prev_stage=prev_stage, alpha=self.uncertainty_alpha, dtype=dtype,
-            accum_steps=(self.accum_steps if accum_steps is None
-                         else accum_steps),
+            accum_steps=accum_steps,
         )
         eval_step = (
             make_spatial_eval_step(
