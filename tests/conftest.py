@@ -24,10 +24,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compilation cache: the suite compiles ~100 XLA programs; cache
-# makes re-runs dramatically faster (override the dir to measure cold runs)
+# makes re-runs dramatically faster (override the dir to measure cold runs).
+# The default dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT results
+# embed the compile machine's features, and loading a cache written on a
+# different host spams feature-mismatch errors and risks SIGILL (this is
+# what broke the round-2 driver dryrun artifact).
+
+
+def _machine_tag() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            src = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        src = platform.processor() or platform.machine()
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("UGPG_TEST_CACHE_DIR", "/tmp/ugpg_jax_cache_cpu"),
+    os.environ.get(
+        "UGPG_TEST_CACHE_DIR", f"/tmp/ugpg_jax_cache_cpu_{_machine_tag()}"
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

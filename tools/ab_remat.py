@@ -1,0 +1,139 @@
+"""A/B: activation rematerialization (``remat=True``) on the real backend.
+
+Measures, for the REAL stage-4 uncertainty-guided train step
+(``make_seg_train_step``: stage-3 frozen forward + stage-4 fwd/bwd + RMSprop
+update in one program), plain vs remat:
+
+* XLA's compiled-program memory analysis (temp/activation bytes) — the
+  quantity remat exists to shrink;
+* step wall time (chained-barrier timing like bench.py: each step consumes
+  the previous step's state, so remote execution caching cannot serve
+  repeats) — the FLOPs cost remat pays.
+
+NOTE: this is only meaningful on TPU.  XLA:CPU's late pipeline drops the
+remat optimization barriers and CSEs the recomputation back out (verified:
+identical optimized HLO) — on the CPU test backend both arms compile to the
+same program.  ``tests/test_remat.py`` covers correctness (bit-identical
+grads) and jaxpr structure; this tool records the hardware numbers for
+BASELINE.md §Remat.
+
+Run:  python tools/ab_remat.py [--res 256] [--batch 8] [--iters 10]
+      [--accum 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_step(jnp, remat: bool, res: int, batch: int, accum: int):
+    import jax
+
+    from ugpg_tpu.models.pgunet import PGUNet3, PGUNet4
+    from ugpg_tpu.train.optim import torch_rmsprop
+    from ugpg_tpu.train.steps import TrainState, make_seg_train_step
+
+    cur = PGUNet4(num_classes=1, dtype=jnp.bfloat16, remat=remat)
+    prev = PGUNet3(num_classes=1, dtype=jnp.bfloat16)
+    tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+    step = make_seg_train_step(
+        cur, tx, stage=4, resolution=res, prev_module=prev,
+        prev_resolution=res // 2, alpha=1.0, accum_steps=accum,
+    )
+
+    v_cur = cur.init(jax.random.key(0), jnp.zeros((1, res, res, 3)), False)
+    v_prev = jax.device_put(
+        prev.init(jax.random.key(1), jnp.zeros((1, res // 2, res // 2, 3)), False)
+    )
+    state = jax.device_put(TrainState.create(v_cur, tx))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, res, res, 3), dtype=np.float32))
+    masks = jnp.asarray(
+        (rng.random((batch, res, res, 1)) > 0.5).astype(np.float32)
+    )
+    pos_w = jnp.asarray(5.0, jnp.float32)
+    key = jax.random.key(2)
+    return step, state, v_prev, (images, masks), pos_w, key
+
+
+def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
+    import jax
+    import jax.numpy as jnp
+
+    step, state, v_prev, batch_arrays, pos_w, key = build_step(
+        jnp, remat, res, batch, accum
+    )
+
+    lowered = step.lower(state, v_prev, batch_arrays, pos_w, key)
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    stats = {
+        "temp_bytes": int(getattr(mem, "temp_size_in_bytes", -1)),
+        "argument_bytes": int(getattr(mem, "argument_size_in_bytes", -1)),
+        "output_bytes": int(getattr(mem, "output_size_in_bytes", -1)),
+    }
+
+    # donate_argnums=(0,) on the real step: pass fresh state each call.
+    state, metrics = step(state, v_prev, batch_arrays, pos_w, key)
+    jax.block_until_ready(metrics["final_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, v_prev, batch_arrays, pos_w, key)
+    jax.block_until_ready(metrics["final_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    stats["step_s"] = dt
+    stats["img_per_s"] = batch / dt
+    stats["loss"] = float(metrics["final_loss"])
+    return stats
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--accum", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import os
+
+    import jax
+
+    # The axon sitecustomize force-sets jax_platforms='axon,cpu', overriding
+    # the JAX_PLATFORMS env var — honor the env var again so CPU smoke runs
+    # don't hang on a down TPU tunnel (same dance as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          file=sys.stderr)
+    if jax.default_backend() == "cpu":
+        print("WARNING: XLA:CPU folds remat away — numbers below will show "
+              "no difference; run on TPU.", file=sys.stderr)
+
+    out = {"res": args.res, "batch": args.batch, "accum": args.accum,
+           "backend": jax.default_backend()}
+    for name, remat in (("plain", False), ("remat", True)):
+        s = measure(remat, args.res, args.batch, args.iters, args.accum)
+        out[name] = s
+        print(f"[{name}] temp={s['temp_bytes']/2**20:.1f} MiB  "
+              f"step={s['step_s']*1e3:.2f} ms  {s['img_per_s']:.1f} img/s  "
+              f"loss={s['loss']:.5f}", file=sys.stderr)
+
+    if out["plain"]["temp_bytes"] > 0:
+        out["temp_ratio"] = out["remat"]["temp_bytes"] / out["plain"]["temp_bytes"]
+        out["time_ratio"] = out["remat"]["step_s"] / out["plain"]["step_s"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

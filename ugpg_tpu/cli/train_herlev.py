@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="gradient accumulation: run each batch (size K*m) "
                         "as K sequential micro-batches inside one program "
                         "with ONE optimizer update")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder DoubleConvs in the backward "
+                        "pass (jax.checkpoint): recompute activations "
+                        "instead of storing them — lower peak memory, "
+                        "identical gradients")
     return p
 
 
@@ -65,6 +70,7 @@ def main(argv=None):
         scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
         tb_logdir=args.tb_logdir,
         accum_steps=args.accum_steps,
+        remat=args.remat,
     )
     if args.data_dir:
         config["data_dir"] = args.data_dir

@@ -90,6 +90,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the stage-pyramid phase only; the "
                         "--native_finetune phase trains batch-1 whole "
                         "slides (spatial grid = the memory axis)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize every DoubleConv in the backward "
+                        "pass (jax.checkpoint): block activations are "
+                        "recomputed instead of stored — lower peak "
+                        "activation memory for ~1 extra forward of FLOPs. "
+                        "Identical gradients; pairs well with "
+                        "--native_finetune / large --batch_size")
     return p
 
 
@@ -138,6 +145,7 @@ def main(argv=None):
         scan_chunk_bytes=(args.scan_chunk_mb << 20) or None,
         tb_logdir=args.tb_logdir,
         accum_steps=args.accum_steps,
+        remat=args.remat,
     )
 
     if args.plain:

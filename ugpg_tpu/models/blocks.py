@@ -200,6 +200,24 @@ class DoubleConv(nn.Module):
         return x
 
 
+def _double_conv(out_channels, axis_name, dtype, use_bn, remat, name):
+    """DoubleConv, optionally rematerialized (``jax.checkpoint``).
+
+    With ``remat=True`` the block's internal activations (two conv outputs,
+    BN/ReLU intermediates) are NOT saved for the backward pass — they are
+    recomputed from the block input during backprop, trading one extra
+    forward's FLOPs for peak-activation memory.  This is the lever for
+    native-resolution (whole-slide) training where per-sample activations,
+    not parameters, bound the batch size.  The lifted transform preserves
+    the param/batch_stats tree (same ``conv/...`` names), so checkpoints,
+    weight transfer, and torch import are unaffected; gradients and BN
+    running-stat updates are bit-identical to the non-remat path (same ops,
+    same order).
+    """
+    cls = nn.remat(DoubleConv, static_argnums=(2,)) if remat else DoubleConv
+    return cls(out_channels, axis_name, dtype, use_bn, name=name)
+
+
 class InConv(nn.Module):
     """Entry block = one DoubleConv (ref: UG_unet_parts.py:21-28)."""
 
@@ -207,10 +225,11 @@ class InConv(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
+        return _double_conv(self.out_channels, self.axis_name, self.dtype, self.use_bn, self.remat, "conv")(x, train)
 
 
 class Down(nn.Module):
@@ -220,11 +239,12 @@ class Down(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
+        return _double_conv(self.out_channels, self.axis_name, self.dtype, self.use_bn, self.remat, "conv")(x, train)
 
 
 class Up(nn.Module):
@@ -238,12 +258,13 @@ class Up(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
         x1 = upsample2x_bilinear_align_corners(x1)
         x = jnp.concatenate([x2, x1], axis=-1)
-        return DoubleConv(self.out_channels, self.axis_name, self.dtype, self.use_bn, name="conv")(x, train)
+        return _double_conv(self.out_channels, self.axis_name, self.dtype, self.use_bn, self.remat, "conv")(x, train)
 
 
 class _Head1x1(nn.Module):

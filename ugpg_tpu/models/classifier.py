@@ -46,15 +46,16 @@ class _Encoder(nn.Module):
     stage: int
     axis_name: str | None = None
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         inc_width, downs = _ENCODER_SPECS[self.stage]
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = InConv(inc_width, self.axis_name, self.dtype, name="inc")(x, train)
+        x = InConv(inc_width, self.axis_name, self.dtype, remat=self.remat, name="inc")(x, train)
         for name, width in downs:
-            x = Down(width, self.axis_name, self.dtype, name=name)(x, train)
+            x = Down(width, self.axis_name, self.dtype, remat=self.remat, name=name)(x, train)
         return x
 
 
@@ -82,10 +83,11 @@ class HerlevClassificationModel(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     dropout_rates: tuple[float, float, float] = (0.5, 0.3, 0.2)
+    remat: bool = False  # jax.checkpoint each encoder DoubleConv
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        feats = _Encoder(self.stage, self.axis_name, self.dtype, name="unet")(x, train)
+        feats = _Encoder(self.stage, self.axis_name, self.dtype, self.remat, name="unet")(x, train)
         # AdaptiveAvgPool2d(1) + Flatten -> global mean over H, W; head in f32.
         h = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
         deterministic = not train

@@ -55,14 +55,15 @@ class PGUNet1(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
+    remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a, dt, ub = self.axis_name, self.dtype, self.use_bn
+        a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(512, a, dt, ub, name="inc")(x, train)          # 32x32x512
-        x2 = Down(512, a, dt, ub, name="down4")(x1, train)         # 16x16x512
-        x3 = Up(256, a, dt, ub, name="up1")(x2, x1, train)         # 32x32x256
+        x1 = InConv(512, a, dt, ub, rm, name="inc")(x, train)          # 32x32x512
+        x2 = Down(512, a, dt, ub, rm, name="down4")(x1, train)         # 16x16x512
+        x3 = Up(256, a, dt, ub, rm, name="up1")(x2, x1, train)         # 32x32x256
         sq = self.num_classes == 1
         return _expand(OutConv(self.num_classes, name="outc")(x3, squeezed=sq))
 
@@ -74,16 +75,17 @@ class PGUNet2(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
+    remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a, dt, ub = self.axis_name, self.dtype, self.use_bn
+        a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(256, a, dt, ub, name="inc")(x, train)          # 64
-        x2 = Down(512, a, dt, ub, name="down3")(x1, train)         # 32
-        x3 = Down(512, a, dt, ub, name="down4")(x2, train)         # 16
-        x4 = Up(256, a, dt, ub, name="up1")(x3, x2, train)         # 32
-        x5 = Up(128, a, dt, ub, name="up2")(x4, x1, train)         # 64
+        x1 = InConv(256, a, dt, ub, rm, name="inc")(x, train)          # 64
+        x2 = Down(512, a, dt, ub, rm, name="down3")(x1, train)         # 32
+        x3 = Down(512, a, dt, ub, rm, name="down4")(x2, train)         # 16
+        x4 = Up(256, a, dt, ub, rm, name="up1")(x3, x2, train)         # 32
+        x5 = Up(128, a, dt, ub, rm, name="up2")(x4, x1, train)         # 64
         sq = self.num_classes == 1
         o1 = OutConv(self.num_classes, name="outc1")(x4, squeezed=sq)
         o2 = OutConv(self.num_classes, name="outc2")(x5, squeezed=sq)
@@ -97,18 +99,19 @@ class PGUNet3(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
+    remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a, dt, ub = self.axis_name, self.dtype, self.use_bn
+        a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(128, a, dt, ub, name="inc")(x, train)          # 128
-        x2 = Down(256, a, dt, ub, name="down2")(x1, train)         # 64
-        x3 = Down(512, a, dt, ub, name="down3")(x2, train)         # 32
-        x4 = Down(512, a, dt, ub, name="down4")(x3, train)         # 16
-        x5 = Up(256, a, dt, ub, name="up1")(x4, x3, train)         # 32
-        x6 = Up(128, a, dt, ub, name="up2")(x5, x2, train)         # 64
-        x7 = Up(64, a, dt, ub, name="up3")(x6, x1, train)          # 128
+        x1 = InConv(128, a, dt, ub, rm, name="inc")(x, train)          # 128
+        x2 = Down(256, a, dt, ub, rm, name="down2")(x1, train)         # 64
+        x3 = Down(512, a, dt, ub, rm, name="down3")(x2, train)         # 32
+        x4 = Down(512, a, dt, ub, rm, name="down4")(x3, train)         # 16
+        x5 = Up(256, a, dt, ub, rm, name="up1")(x4, x3, train)         # 32
+        x6 = Up(128, a, dt, ub, rm, name="up2")(x5, x2, train)         # 64
+        x7 = Up(64, a, dt, ub, rm, name="up3")(x6, x1, train)          # 128
         res = x7.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x5, squeezed=sq), res)
@@ -123,20 +126,21 @@ class PGUNet4(nn.Module):
     axis_name: str | None = None
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
+    remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a, dt, ub = self.axis_name, self.dtype, self.use_bn
+        a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(64, a, dt, ub, name="inc")(x, train)           # 256
-        x2 = Down(128, a, dt, ub, name="down1")(x1, train)         # 128
-        x3 = Down(256, a, dt, ub, name="down2")(x2, train)         # 64
-        x4 = Down(512, a, dt, ub, name="down3")(x3, train)         # 32
-        x5 = Down(512, a, dt, ub, name="down4")(x4, train)         # 16
-        x6 = Up(256, a, dt, ub, name="up1")(x5, x4, train)         # 32
-        x7 = Up(128, a, dt, ub, name="up2")(x6, x3, train)         # 64
-        x8 = Up(64, a, dt, ub, name="up3")(x7, x2, train)          # 128
-        x9 = Up(64, a, dt, ub, name="up4")(x8, x1, train)          # 256
+        x1 = InConv(64, a, dt, ub, rm, name="inc")(x, train)           # 256
+        x2 = Down(128, a, dt, ub, rm, name="down1")(x1, train)         # 128
+        x3 = Down(256, a, dt, ub, rm, name="down2")(x2, train)         # 64
+        x4 = Down(512, a, dt, ub, rm, name="down3")(x3, train)         # 32
+        x5 = Down(512, a, dt, ub, rm, name="down4")(x4, train)         # 16
+        x6 = Up(256, a, dt, ub, rm, name="up1")(x5, x4, train)         # 32
+        x7 = Up(128, a, dt, ub, rm, name="up2")(x6, x3, train)         # 64
+        x8 = Up(64, a, dt, ub, rm, name="up3")(x7, x2, train)          # 128
+        x9 = Up(64, a, dt, ub, rm, name="up4")(x8, x1, train)          # 256
         res = x9.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x6, squeezed=sq), res)

@@ -45,6 +45,7 @@ class ProgressiveUNet:
         task_type: str = "segmentation",
         axis_name: str | None = None,
         dtype=None,
+        remat: bool = False,
     ):
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
@@ -56,6 +57,7 @@ class ProgressiveUNet:
         self.task_type = task_type
         self.axis_name = axis_name
         self.dtype = dtype
+        self.remat = remat
         self.stage_resolutions = (
             dict(STAGE_RESOLUTIONS)
             if task_type == "segmentation"
@@ -63,14 +65,15 @@ class ProgressiveUNet:
         )
         if task_type == "segmentation":
             self.stages = {
-                s: cls(num_classes=self.num_classes, axis_name=axis_name, dtype=dtype)
+                s: cls(num_classes=self.num_classes, axis_name=axis_name, dtype=dtype,
+                       remat=remat)
                 for s, cls in STAGE_MODELS.items()
             }
         else:
             self.stages = {
                 s: HerlevClassificationModel(
                     stage=s, num_classes=self.num_classes, axis_name=axis_name,
-                    dtype=dtype,
+                    dtype=dtype, remat=remat,
                 )
                 for s in STAGE_MODELS
             }

@@ -113,9 +113,13 @@ class HerlevTrainer:
         self.verbose = self.config.get("verbose", True)
         self._print = print if self.verbose else (lambda *a, **kw: None)
 
+        # remat: jax.checkpoint each encoder DoubleConv (activation
+        # rematerialization) — see UncertaintyGuidedProgressiveTrainer.
+        self.remat = bool(self.config.get("remat", False))
         self.modules = {
             s: HerlevClassificationModel(
-                stage=s, num_classes=k, axis_name=axis_name, dtype=dtype
+                stage=s, num_classes=k, axis_name=axis_name, dtype=dtype,
+                remat=self.remat,
             )
             for s in (1, 2, 3, 4)
         }

@@ -109,6 +109,7 @@ class UncertaintyGuidedProgressiveTrainer:
         scan_chunk_bytes: int | None = 1 << 30,
         tb_logdir=None,
         accum_steps: int = 1,
+        remat: bool = False,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -139,7 +140,14 @@ class UncertaintyGuidedProgressiveTrainer:
         one XLA program with ONE optimizer update and sequential BN-stat
         threading; use for effective batch sizes whose activations exceed
         HBM.  Composes with ``scan_epochs`` and ``mesh`` (micro-batches
-        stay data-sharded)."""
+        stay data-sharded).
+
+        ``remat=True``: rematerialize every DoubleConv in the backward pass
+        (``jax.checkpoint``) — block-internal activations are recomputed
+        instead of stored, cutting peak activation memory at the cost of
+        one extra forward's FLOPs.  Gradients/BN updates are identical.
+        Use with the spatial grid / native-resolution fine-tune where
+        activations, not parameters, bound the batch size."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -161,11 +169,13 @@ class UncertaintyGuidedProgressiveTrainer:
         if accum_steps < 1:
             raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
         self.accum_steps = accum_steps
+        self.remat = remat
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
         self.modules = {
-            s: cls(num_classes=num_classes, axis_name=axis_name, dtype=dtype)
+            s: cls(num_classes=num_classes, axis_name=axis_name, dtype=dtype,
+                   remat=remat)
             for s, cls in STAGE_MODELS.items()
         }
         # Lazily initialized per-stage variable trees.
