@@ -135,3 +135,163 @@ def test_dataset_png_path_uses_native_decoder(tmp_path):
     np.testing.assert_array_equal(raw_img, img)
     x, y = ds[0]
     assert x.shape == (64, 64, 3) and 0.0 <= x.min() and x.max() <= 1.0
+
+
+def _tiff_or_skip():
+    import pytest
+
+    from ugpg_tpu.native import tiff_available
+
+    if not tiff_available():
+        pytest.skip("no compiler/zlib for the native tiff decoder")
+
+
+def test_tiff_decode_bit_exact_vs_pil():
+    """Whole-slide profile: RGB strips, every compression PIL can write."""
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    g = np.random.default_rng(3)
+    # mix of random (stresses LZW table growth via Clear codes) and
+    # gradient (stresses long runs / predictor-like data) content
+    yy, xx = np.mgrid[0:200, 0:173]
+    grad = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    images = [
+        (g.random((100, 100, 3)) * 255).astype(np.uint8),
+        grad,
+        (g.random((1, 1, 3)) * 255).astype(np.uint8),
+        np.zeros((33, 65, 3), np.uint8),  # constant: max-run compression
+    ]
+    for img in images:
+        for comp in (None, "tiff_lzw", "packbits", "tiff_deflate"):
+            b = io.BytesIO()
+            kw = {"compression": comp} if comp else {}
+            Image.fromarray(img).save(b, format="TIFF", **kw)
+            got = decode_tiff_native(b.getvalue())
+            assert got is not None, (img.shape, comp)
+            np.testing.assert_array_equal(got, img, err_msg=str(comp))
+
+
+def test_tiff_decode_gray_and_rgba_match_pil_convert():
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    g = np.random.default_rng(4)
+    gray = (g.random((40, 56)) * 255).astype(np.uint8)
+    rgba = (g.random((40, 56, 4)) * 255).astype(np.uint8)
+    rgba[..., 3] = 255  # PIL convert("RGB") on opaque RGBA == drop alpha
+    for arr, mode in ((gray, "L"), (rgba, "RGBA")):
+        for comp in (None, "tiff_lzw"):
+            b = io.BytesIO()
+            kw = {"compression": comp} if comp else {}
+            Image.fromarray(arr, mode=mode).save(b, format="TIFF", **kw)
+            data = b.getvalue()
+            got = decode_tiff_native(data)
+            assert got is not None, (mode, comp)
+            want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            np.testing.assert_array_equal(got, want, err_msg=f"{mode} {comp}")
+
+
+def test_tiff_decode_multi_strip_and_big_endian():
+    """RowsPerStrip < H forces multiple strips; MM is the big-endian order."""
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    g = np.random.default_rng(5)
+    img = (g.random((64, 48, 3)) * 255).astype(np.uint8)
+    b = io.BytesIO()
+    # libtiff path honors tiffinfo RowsPerStrip (278)
+    Image.fromarray(img).save(b, format="TIFF", compression="tiff_lzw",
+                              tiffinfo={278: 8})
+    got = decode_tiff_native(b.getvalue())
+    assert got is not None
+    np.testing.assert_array_equal(got, img)
+
+    # hand-craft a tiny big-endian (MM) uncompressed RGB TIFF
+    import struct
+
+    h, w = 2, 3
+    px = bytes(range(h * w * 3))
+    entries = [
+        (256, 3, 1, w << 16),            # ImageWidth (SHORT, left-packed)
+        (257, 3, 1, h << 16),            # ImageLength
+        (258, 3, 3, 0),                  # BitsPerSample -> offset, patched
+        (259, 3, 1, 1 << 16),            # Compression = none
+        (262, 3, 1, 2 << 16),            # Photometric = RGB
+        (273, 4, 1, 0),                  # StripOffsets -> patched
+        (277, 3, 1, 3 << 16),            # SamplesPerPixel
+        (278, 3, 1, h << 16),            # RowsPerStrip
+        (279, 4, 1, len(px)),            # StripByteCounts
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    bits_off = ifd_off + ifd_len
+    data_off = bits_off + 6
+    entries[2] = (258, 3, 3, bits_off)
+    entries[5] = (273, 4, 1, data_off)
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    buf += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        buf += struct.pack(">HHII", tag, typ, cnt, val)
+    buf += struct.pack(">I", 0)  # next IFD
+    buf += struct.pack(">HHH", 8, 8, 8)
+    buf += px
+    got = decode_tiff_native(buf)
+    assert got is not None
+    np.testing.assert_array_equal(
+        got, np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    )
+
+
+def test_tiff_decode_unsupported_profiles_return_none(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    # 16-bit: outside the profile
+    img16 = (np.random.default_rng(6).random((8, 8)) * 65535).astype(np.uint16)
+    b = io.BytesIO()
+    Image.fromarray(img16).save(b, format="TIFF")
+    assert decode_tiff_native(b.getvalue()) is None
+    # garbage bytes
+    assert decode_tiff_native(b"not a tiff at all") is None
+    # truncated file: header promises data that is not there
+    img = (np.random.default_rng(7).random((32, 32, 3)) * 255).astype(np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="TIFF")
+    assert decode_tiff_native(b.getvalue()[: len(b.getvalue()) // 2]) is None
+
+
+def test_dataset_tiff_path_uses_native_decoder(tmp_path):
+    """MoNuSeg-style .tif slides decode identically through the dataset."""
+    from PIL import Image
+
+    from tests.test_data_monuseg import SQUARE, make_xml
+    from ugpg_tpu.data.monuseg import MoNuSegDataset
+
+    g = np.random.default_rng(8)
+    root = tmp_path / "M"
+    (root / "train" / "images").mkdir(parents=True)
+    (root / "train" / "annots").mkdir(parents=True)
+    img = (g.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "train" / "images" / "a.tif",
+                              compression="tiff_lzw")
+    (root / "train" / "annots" / "a.xml").write_text(make_xml([SQUARE]))
+    ds = MoNuSegDataset(str(root), image_size=64, split="train", augment=False)
+    raw_img, mask = ds.load_raw(0)
+    np.testing.assert_array_equal(raw_img, img)

@@ -313,7 +313,9 @@ def run_pipeline(
         xml = annots_dir / f"{stem}.xml"
         if not xml.exists():
             continue
-        image = np.asarray(Image.open(images_dir / name).convert("RGB"))
+        from ugpg_tpu.data.monuseg import load_rgb
+
+        image = load_rgb(images_dir / name)  # native decode, PIL fallback
         polygons = parse_polygons(xml)
         for tile, tile_polys, (x0, y0) in extract_patches(
             image, polygons, patch, stride

@@ -34,12 +34,14 @@ from ugpg_tpu.data.rasterize import annotation_info, parse_polygons, rasterize_p
 def _load_rgb(img_path: str) -> "np.ndarray":
     """Decode an image to (H, W, 3) uint8.
 
-    PNGs (the aug-patch format) go through the native C++ decoder when
-    available — the per-sample decode is the host-side hot path of aug
-    training, and ctypes releases the GIL so the threaded DataLoader decodes
-    in true parallel.  Everything else (and unsupported PNG profiles) uses
-    PIL."""
-    if str(img_path).lower().endswith(".png"):
+    PNGs (the aug-patch format) and TIFFs (the whole-slide format the
+    native-resolution eval/fine-tune path reads per epoch) go through the
+    native C++ decoders when available — the per-sample decode is the
+    host-side hot path, and ctypes releases the GIL so the threaded
+    DataLoader decodes in true parallel.  Everything else (and unsupported
+    PNG/TIFF profiles) uses PIL."""
+    low = str(img_path).lower()
+    if low.endswith(".png"):
         try:
             from ugpg_tpu.native import decode_png_native
 
@@ -48,9 +50,21 @@ def _load_rgb(img_path: str) -> "np.ndarray":
                 return arr
         except Exception:
             pass  # fall through to PIL
+    elif low.endswith((".tif", ".tiff")):
+        try:
+            from ugpg_tpu.native import decode_tiff_native
+
+            arr = decode_tiff_native(img_path)
+            if arr is not None:
+                return arr
+        except Exception:
+            pass  # fall through to PIL
     return np.asarray(Image.open(img_path).convert("RGB"))
 
-__all__ = ["MoNuSegDataset", "AugMoNuSegDataset", "create_train_val_split"]
+load_rgb = _load_rgb  # public: eval/CLI surfaces read slides through it too
+
+__all__ = ["MoNuSegDataset", "AugMoNuSegDataset", "create_train_val_split",
+           "load_rgb"]
 
 try:
     from PIL import Image

@@ -264,7 +264,9 @@ class MoNuSegInferer:
             raise RuntimeError("PIL required for inference IO")
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
-        image = np.asarray(Image.open(image_path).convert("RGB"))
+        from ugpg_tpu.data.monuseg import load_rgb
+
+        image = load_rgb(image_path)  # native TIFF/PNG decode, PIL fallback
         mask, confidence = self.evaluator.predict_image(image)
 
         stem = Path(image_path).stem

@@ -1,6 +1,6 @@
 """ctypes bindings for the native (C++) preprocessing kernels.
 
-Two components, each built on first use (g++ -O3, cached next to the
+Three components, each built on first use (g++ -O3, cached next to the
 source) and degrading gracefully to the Python/PIL implementations when no
 compiler is available:
 
@@ -10,6 +10,8 @@ compiler is available:
   per-sample decode hot path; see ``png_decode.cpp``).  ctypes releases
   the GIL during the call, so the threaded DataLoader decodes batches in
   true parallel.
+* ``libtiffdec.so`` — whole-slide TIFF decode (the native-resolution
+  eval/fine-tune per-slide hot path; see ``tiff_decode.cpp``).
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ __all__ = [
     "rasterize_batch_native",
     "png_available",
     "decode_png_native",
+    "tiff_available",
+    "decode_tiff_native",
 ]
 
 _HERE = Path(__file__).parent
@@ -221,6 +225,92 @@ def decode_png_native(source) -> np.ndarray | None:
         return None  # outside the supported profile
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.png_decode_rgb8(
+        ptr, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+    )
+    return out if rc == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# TIFF decoder (libtiffdec.so)
+# ---------------------------------------------------------------------------
+
+_TIFF_SRC = _HERE / "tiff_decode.cpp"
+_TIFF_LIB = _HERE / "libtiffdec.so"
+_tiff_lib = None
+_tiff_tried = False
+
+
+def _tiff_build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", str(_TIFF_LIB), str(_TIFF_SRC), "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover - compiler/zlib missing
+        print(f"native tiff decoder build failed ({e}); using PIL fallback")
+        return False
+
+
+def _tiff_load():
+    global _tiff_lib, _tiff_tried
+    with _lock:
+        if _tiff_lib is not None or _tiff_tried:
+            return _tiff_lib
+        _tiff_tried = True
+        if not _TIFF_LIB.exists() or _TIFF_LIB.stat().st_mtime < _TIFF_SRC.stat().st_mtime:
+            if not _tiff_build():
+                return None
+        lib = ctypes.CDLL(str(_TIFF_LIB))
+        lib.tiff_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.tiff_info.restype = ctypes.c_int
+        lib.tiff_decode_rgb8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.tiff_decode_rgb8.restype = ctypes.c_int
+        _tiff_lib = lib
+        return _tiff_lib
+
+
+def tiff_available() -> bool:
+    return _tiff_load() is not None
+
+
+def decode_tiff_native(source) -> np.ndarray | None:
+    """Decode a whole-slide TIFF -> (H, W, 3) uint8 RGB.
+
+    Supported profile (everything MoNuSeg-style slides use; see
+    tiff_decode.cpp): classic TIFF, first IFD, strip-based chunky layout,
+    8-bit gray/RGB/RGBA, compression None/LZW(+predictor 2)/Deflate/
+    PackBits, either byte order.  ``source``: a path or a bytes object.
+    Returns None when the file is outside the profile (callers fall back
+    to PIL) and raises only on I/O errors.
+    """
+    lib = _tiff_load()
+    if lib is None:
+        return None
+    if isinstance(source, (str, os.PathLike)):
+        data = Path(source).read_bytes()
+    else:
+        data = bytes(source)
+    buf = np.frombuffer(data, np.uint8)
+    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    spp = ctypes.c_int()
+    comp = ctypes.c_int()
+    if lib.tiff_info(ptr, len(data), ctypes.byref(h), ctypes.byref(w),
+                     ctypes.byref(spp), ctypes.byref(comp)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.tiff_decode_rgb8(
         ptr, len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
     )
