@@ -295,3 +295,89 @@ def test_dataset_tiff_path_uses_native_decoder(tmp_path):
     ds = MoNuSegDataset(str(root), image_size=64, split="train", augment=False)
     raw_img, mask = ds.load_raw(0)
     np.testing.assert_array_equal(raw_img, img)
+
+
+def _craft_tiff_le(w, h, spp, payload, extra_entries=()):
+    """Hand-build a little-endian classic TIFF: one uncompressed strip."""
+    import struct
+
+    entries = [
+        (256, 3, 1, w),            # ImageWidth
+        (257, 3, 1, h),            # ImageLength
+        (259, 3, 1, 1),            # Compression = none
+        (277, 3, 1, spp),          # SamplesPerPixel
+        (278, 3, 1, h),            # RowsPerStrip
+        (279, 4, 1, len(payload)),  # StripByteCounts
+    ]
+    entries.extend(extra_entries)
+    needs_bits_off = spp > 2
+    n = len(entries) + 2 + (0 if not needs_bits_off else 0)  # + bits, offsets
+    entries.append((258, 3, spp, 0))   # BitsPerSample (patched if indirect)
+    entries.append((273, 4, 1, 0))     # StripOffsets (patched)
+    entries.sort()
+    n = len(entries)
+    ifd_off = 8
+    ifd_len = 2 + 12 * n + 4
+    bits_off = ifd_off + ifd_len
+    data_off = bits_off + 2 * spp
+    fixed = []
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            val = (8 | (8 << 16)) if spp <= 2 else bits_off  # inline if fits
+        if tag == 258 and spp == 1:
+            val = 8
+        if tag == 273:
+            val = data_off
+        fixed.append((tag, typ, cnt, val))
+    import struct
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off)
+    buf += struct.pack("<H", n)
+    for tag, typ, cnt, val in fixed:
+        buf += struct.pack("<HHII", tag, typ, cnt, val)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack("<" + "H" * spp, *([8] * spp))
+    buf += bytes(payload)
+    return buf
+
+
+def test_tiff_decode_horizontal_predictor():
+    """Predictor 2 (tag 317): payload stores per-row horizontal diffs."""
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    g = np.random.default_rng(9)
+    img = (g.random((5, 7, 3)) * 255).astype(np.uint8)
+    diff = img.astype(np.int16).reshape(5, 7 * 3).copy()
+    # horizontal differencing per sample: d[x] = v[x] - v[x - spp]
+    flat = img.reshape(5, 21).astype(np.int16)
+    diff[:, 3:] = flat[:, 3:] - flat[:, :-3]
+    payload = (diff % 256).astype(np.uint8).tobytes()
+    data = _craft_tiff_le(7, 5, 3, payload,
+                          extra_entries=[(262, 3, 1, 2), (317, 3, 1, 2)])
+    got = decode_tiff_native(data)
+    assert got is not None
+    np.testing.assert_array_equal(got, img)
+
+
+def test_tiff_decode_white_is_zero():
+    """Photometric 0 (WhiteIsZero): gray samples are inverted."""
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    g = np.random.default_rng(10)
+    gray = (g.random((4, 6)) * 255).astype(np.uint8)
+    data = _craft_tiff_le(6, 4, 1, gray.tobytes(),
+                          extra_entries=[(262, 3, 1, 0)])
+    got = decode_tiff_native(data)
+    assert got is not None
+    want = np.repeat((255 - gray)[..., None], 3, axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiff_decode_bomb_header_rejected():
+    """A tiny file claiming huge dims must return None, not allocate."""
+    from ugpg_tpu.native import decode_tiff_native
+
+    _tiff_or_skip()
+    data = _craft_tiff_le(65536, 65536, 3, b"\x00" * 12)
+    assert decode_tiff_native(data) is None

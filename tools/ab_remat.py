@@ -82,12 +82,15 @@ def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
         "output_bytes": int(getattr(mem, "output_size_in_bytes", -1)),
     }
 
-    # donate_argnums=(0,) on the real step: pass fresh state each call.
-    state, metrics = step(state, v_prev, batch_arrays, pos_w, key)
+    # run the AOT executable directly — re-invoking the jit-wrapped `step`
+    # would compile the identical program a second time (the AOT compile
+    # does not populate the jit cache), doubling wall time on TPU.
+    # donate_argnums=(0,) is baked in: pass fresh state each call.
+    state, metrics = compiled(state, v_prev, batch_arrays, pos_w, key)
     jax.block_until_ready(metrics["final_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = step(state, v_prev, batch_arrays, pos_w, key)
+        state, metrics = compiled(state, v_prev, batch_arrays, pos_w, key)
     jax.block_until_ready(metrics["final_loss"])
     dt = (time.perf_counter() - t0) / iters
     stats["step_s"] = dt

@@ -295,6 +295,8 @@ def run_pipeline(
 ) -> int:
     """Write patches + augmented variants to {split}/aug/{images,annots}.
     Returns the number of patches written."""
+    from ugpg_tpu.data.monuseg import load_rgb
+
     if not _HAVE_PIL:
         raise RuntimeError("PIL required")
     images_dir = Path(data_dir) / split / "images"
@@ -313,8 +315,6 @@ def run_pipeline(
         xml = annots_dir / f"{stem}.xml"
         if not xml.exists():
             continue
-        from ugpg_tpu.data.monuseg import load_rgb
-
         image = load_rgb(images_dir / name)  # native decode, PIL fallback
         polygons = parse_polygons(xml)
         for tile, tile_polys, (x0, y0) in extract_patches(

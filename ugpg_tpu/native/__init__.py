@@ -147,55 +147,111 @@ def rasterize_batch_native(per_image_polygons, image_hw, n_threads: int = 0):
 
 
 # ---------------------------------------------------------------------------
-# PNG decoder (libpngdec.so)
+# Image decoders (libpngdec.so, libtiffdec.so) — shared build/bind factory
 # ---------------------------------------------------------------------------
-
-_PNG_SRC = _HERE / "png_decode.cpp"
-_PNG_LIB = _HERE / "libpngdec.so"
-_png_lib = None
-_png_tried = False
-
-
-def _png_build() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(_PNG_LIB), str(_PNG_SRC), "-lz",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # pragma: no cover - compiler/zlib missing
-        print(f"native png decoder build failed ({e}); using PIL fallback")
-        return False
+#
+# Both decoders expose the same C ABI shape:
+#   <fmt>_info(data, len, *h, *w, *a, *b) -> 0 iff readable
+#   <fmt>_decode_rgb8(data, len, out, out_cap) -> 0 on success
+# so one factory owns the compile-on-first-use, mtime staleness check,
+# lock discipline, and path/bytes handling for all of them.
 
 
-def _png_load():
-    global _png_lib, _png_tried
-    with _lock:
-        if _png_lib is not None or _png_tried:
-            return _png_lib
-        _png_tried = True
-        if not _PNG_LIB.exists() or _PNG_LIB.stat().st_mtime < _PNG_SRC.stat().st_mtime:
-            if not _png_build():
-                return None
-        lib = ctypes.CDLL(str(_PNG_LIB))
-        lib.png_info.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+def _make_decoder(src_name: str, lib_name: str, ldflags: list,
+                  info_sym: str, decode_sym: str, profile_ok):
+    """Returns ``(available, decode)`` for one native decoder library.
+
+    ``profile_ok(a, b)``: extra predicate over the two trailing int outputs
+    of the info call (e.g. PNG color type / bit depth) — the decode returns
+    None (PIL fallback) when it rejects.
+    """
+    src = _HERE / src_name
+    lib_path = _HERE / lib_name
+    state = {"fns": None, "tried": False}
+
+    def _build() -> bool:
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(lib_path), str(src), *ldflags,
         ]
-        lib.png_info.restype = ctypes.c_int
-        lib.png_decode_rgb8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ]
-        lib.png_decode_rgb8.restype = ctypes.c_int
-        _png_lib = lib
-        return _png_lib
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception as e:  # pragma: no cover - compiler/zlib missing
+            print(f"native {src_name} build failed ({e}); using PIL fallback")
+            return False
+
+    def _load():
+        with _lock:
+            if state["fns"] is not None or state["tried"]:
+                return state["fns"]
+            state["tried"] = True
+            if not lib_path.exists() or lib_path.stat().st_mtime < src.stat().st_mtime:
+                if not _build():
+                    return None
+            lib = ctypes.CDLL(str(lib_path))
+            info = getattr(lib, info_sym)
+            info.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            info.restype = ctypes.c_int
+            decode = getattr(lib, decode_sym)
+            decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+            decode.restype = ctypes.c_int
+            state["fns"] = (info, decode)
+            return state["fns"]
+
+    def available() -> bool:
+        return _load() is not None
+
+    def decode_rgb8(source):
+        fns = _load()
+        if fns is None:
+            return None
+        info, decode = fns
+        if isinstance(source, (str, os.PathLike)):
+            data = Path(source).read_bytes()
+        else:
+            data = bytes(source)
+        buf = np.frombuffer(data, np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        h = ctypes.c_int64()
+        w = ctypes.c_int64()
+        a = ctypes.c_int()
+        b = ctypes.c_int()
+        if info(ptr, len(data), ctypes.byref(h), ctypes.byref(w),
+                ctypes.byref(a), ctypes.byref(b)) != 0:
+            return None
+        if not profile_ok(a.value, b.value):
+            return None
+        out = np.empty((h.value, w.value, 3), np.uint8)
+        rc = decode(
+            ptr, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        )
+        return out if rc == 0 else None
+
+    return available, decode_rgb8
 
 
-def png_available() -> bool:
-    return _png_load() is not None
+# info outputs: (color_type, bit_depth) — 8-bit RGB only; other PNG
+# profiles fall back to PIL
+png_available, _decode_png = _make_decoder(
+    "png_decode.cpp", "libpngdec.so", ["-lz"], "png_info",
+    "png_decode_rgb8", lambda color_type, depth: color_type == 2 and depth == 8,
+)
+
+# info outputs: (samples_per_pixel, compression) — tiff_info already
+# returns nonzero for anything outside the supported profile
+tiff_available, _decode_tiff = _make_decoder(
+    "tiff_decode.cpp", "libtiffdec.so", ["-lz"], "tiff_info",
+    "tiff_decode_rgb8", lambda spp, comp: True,
+)
 
 
 def decode_png_native(source) -> np.ndarray | None:
@@ -205,82 +261,7 @@ def decode_png_native(source) -> np.ndarray | None:
     a PNG feature outside the supported profile (callers fall back to PIL)
     and raises only on I/O errors.
     """
-    lib = _png_load()
-    if lib is None:
-        return None
-    if isinstance(source, (str, os.PathLike)):
-        data = Path(source).read_bytes()
-    else:
-        data = bytes(source)
-    buf = np.frombuffer(data, np.uint8)
-    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    h = ctypes.c_int64()
-    w = ctypes.c_int64()
-    ctype = ctypes.c_int()
-    depth = ctypes.c_int()
-    if lib.png_info(ptr, len(data), ctypes.byref(h), ctypes.byref(w),
-                    ctypes.byref(ctype), ctypes.byref(depth)) != 0:
-        return None
-    if ctype.value != 2 or depth.value != 8:
-        return None  # outside the supported profile
-    out = np.empty((h.value, w.value, 3), np.uint8)
-    rc = lib.png_decode_rgb8(
-        ptr, len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
-    )
-    return out if rc == 0 else None
-
-
-# ---------------------------------------------------------------------------
-# TIFF decoder (libtiffdec.so)
-# ---------------------------------------------------------------------------
-
-_TIFF_SRC = _HERE / "tiff_decode.cpp"
-_TIFF_LIB = _HERE / "libtiffdec.so"
-_tiff_lib = None
-_tiff_tried = False
-
-
-def _tiff_build() -> bool:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(_TIFF_LIB), str(_TIFF_SRC), "-lz",
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception as e:  # pragma: no cover - compiler/zlib missing
-        print(f"native tiff decoder build failed ({e}); using PIL fallback")
-        return False
-
-
-def _tiff_load():
-    global _tiff_lib, _tiff_tried
-    with _lock:
-        if _tiff_lib is not None or _tiff_tried:
-            return _tiff_lib
-        _tiff_tried = True
-        if not _TIFF_LIB.exists() or _TIFF_LIB.stat().st_mtime < _TIFF_SRC.stat().st_mtime:
-            if not _tiff_build():
-                return None
-        lib = ctypes.CDLL(str(_TIFF_LIB))
-        lib.tiff_info.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.tiff_info.restype = ctypes.c_int
-        lib.tiff_decode_rgb8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ]
-        lib.tiff_decode_rgb8.restype = ctypes.c_int
-        _tiff_lib = lib
-        return _tiff_lib
-
-
-def tiff_available() -> bool:
-    return _tiff_load() is not None
+    return _decode_png(source)
 
 
 def decode_tiff_native(source) -> np.ndarray | None:
@@ -293,25 +274,4 @@ def decode_tiff_native(source) -> np.ndarray | None:
     Returns None when the file is outside the profile (callers fall back
     to PIL) and raises only on I/O errors.
     """
-    lib = _tiff_load()
-    if lib is None:
-        return None
-    if isinstance(source, (str, os.PathLike)):
-        data = Path(source).read_bytes()
-    else:
-        data = bytes(source)
-    buf = np.frombuffer(data, np.uint8)
-    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    h = ctypes.c_int64()
-    w = ctypes.c_int64()
-    spp = ctypes.c_int()
-    comp = ctypes.c_int()
-    if lib.tiff_info(ptr, len(data), ctypes.byref(h), ctypes.byref(w),
-                     ctypes.byref(spp), ctypes.byref(comp)) != 0:
-        return None
-    out = np.empty((h.value, w.value, 3), np.uint8)
-    rc = lib.tiff_decode_rgb8(
-        ptr, len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
-    )
-    return out if rc == 0 else None
+    return _decode_tiff(source)

@@ -150,6 +150,12 @@ int check_profile(const Info& f) {
     if (f.width == 0 || f.height == 0 ||
         f.width > 1u << 16 || f.height > 1u << 16)
         return E_UNSUPPORTED;
+    // decompression-bomb guard: a ~200-byte file can claim 65536x65536
+    // dims; cap total pixels (64 MPix ~ 192 MB RGB) BEFORE any caller
+    // allocates an output buffer.  PIL's own bomb guard covers the
+    // fallback path; real slides (MoNuSeg: 1 MPix) are far below this.
+    if (int64_t(f.width) * f.height > int64_t(1) << 26)
+        return E_UNSUPPORTED;
     if (f.tiled || f.planar != 1 || f.bits != 8) return E_UNSUPPORTED;
     if (f.spp != 1 && f.spp != 3 && f.spp != 4) return E_UNSUPPORTED;
     if (f.spp == 1) {
@@ -345,13 +351,14 @@ int tiff_decode_rgb8(const uint8_t* data, int64_t len, uint8_t* out,
         (int64_t(H) + rps - 1) / rps;
     if (f.strip_offsets.count < uint32_t(n_strips)) return E_TRUNCATED;
 
-    // decode all strips into one contiguous sample buffer
-    std::vector<uint8_t> samples(size_t(H) * row_bytes);
+    // validate every strip's offset/count against the file BEFORE any
+    // large allocation: a corrupt header must fail cleanly, not OOM
+    const size_t ns = size_t(n_strips);
+    std::vector<uint32_t> offs(ns), cnts(ns);
     for (int64_t s = 0; s < n_strips; ++s) {
         int64_t rows = (s == n_strips - 1) ? H - s * int64_t(rps) : rps;
         int64_t want = rows * row_bytes;
         if (want <= 0 || want > (int64_t(1) << 31)) return E_UNSUPPORTED;
-
         uint32_t off = 0, cnt = 0;
         if (!entry_get(r, f.strip_offsets, uint32_t(s), &off))
             return E_TRUNCATED;
@@ -362,8 +369,23 @@ int tiff_decode_rgb8(const uint8_t* data, int64_t len, uint8_t* out,
         else
             return E_TRUNCATED;
         if (!r.in_bounds(off, cnt)) return E_TRUNCATED;
+        offs[size_t(s)] = off;
+        cnts[size_t(s)] = cnt;
+    }
 
-        uint8_t* dst = samples.data() + size_t(s) * rps * row_bytes;
+    // RGB strips decode straight into out (row_bytes == W*3 == out pitch,
+    // photometric 2 enforced) — no intermediate buffer, no conversion
+    // pass; gray/RGBA go through a sample buffer and convert below
+    const bool direct = (spp == 3);
+    std::vector<uint8_t> samples;
+    if (!direct) samples.resize(size_t(H) * row_bytes);
+    uint8_t* const base = direct ? out : samples.data();
+
+    for (int64_t s = 0; s < n_strips; ++s) {
+        int64_t rows = (s == n_strips - 1) ? H - s * int64_t(rps) : rps;
+        int64_t want = rows * row_bytes;
+        const uint32_t off = offs[size_t(s)], cnt = cnts[size_t(s)];
+        uint8_t* dst = base + size_t(s) * rps * row_bytes;
         int64_t got = 0;
         switch (f.compression) {
             case 1:
@@ -394,7 +416,9 @@ int tiff_decode_rgb8(const uint8_t* data, int64_t len, uint8_t* out,
         }
     }
 
-    // samples -> RGB8
+    if (direct) return OK;  // RGB already in out
+
+    // samples -> RGB8 (gray replicated / inverted, RGBA alpha dropped)
     const bool invert = (spp == 1 && f.photometric == 0);  // WhiteIsZero
     for (int64_t i = 0; i < H * W; ++i) {
         const uint8_t* px = samples.data() + i * spp;
