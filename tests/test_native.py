@@ -381,3 +381,110 @@ def test_tiff_decode_bomb_header_rejected():
     _tiff_or_skip()
     data = _craft_tiff_le(65536, 65536, 3, b"\x00" * 12)
     assert decode_tiff_native(data) is None
+
+
+# ---------------------------------------------------------------------------
+# native BMP decoder (Herlev cell images)
+# ---------------------------------------------------------------------------
+
+
+def _bmp_or_skip():
+    import pytest
+
+    from ugpg_tpu.native import bmp_available
+
+    if not bmp_available():
+        pytest.skip("no compiler for the native bmp decoder")
+
+
+def test_bmp_decode_bit_exact_vs_pil():
+    import io
+
+    from PIL import Image
+
+    from ugpg_tpu.native import decode_bmp_native
+
+    _bmp_or_skip()
+    g = np.random.default_rng(11)
+    # odd widths exercise the 4-byte row padding
+    for shape in ((32, 32, 3), (17, 31, 3), (1, 1, 3), (45, 3, 3)):
+        img = (g.random(shape) * 255).astype(np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="BMP")
+        got = decode_bmp_native(b.getvalue())
+        assert got is not None, shape
+        np.testing.assert_array_equal(got, img, err_msg=str(shape))
+
+
+def _craft_bmp(img, top_down, bpp):
+    """Hand-build a BMP (PIL only writes bottom-up 24-bit)."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = ((w * bpp // 8) + 3) // 4 * 4
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = img[y, x]
+            px = bytes((b, g, r)) + (b"\xff" if bpp == 32 else b"")
+            row += px
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    height_field = -h if top_down else h
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, bpp, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    return hdr + info + pixels
+
+
+def test_bmp_decode_top_down_and_32bit():
+    from ugpg_tpu.native import decode_bmp_native
+
+    _bmp_or_skip()
+    g = np.random.default_rng(12)
+    img = (g.random((9, 7, 3)) * 255).astype(np.uint8)
+    for top_down in (False, True):
+        for bpp in (24, 32):
+            data = _craft_bmp(img, top_down, bpp)
+            got = decode_bmp_native(data)
+            assert got is not None, (top_down, bpp)
+            np.testing.assert_array_equal(got, img,
+                                          err_msg=f"td={top_down} bpp={bpp}")
+
+
+def test_bmp_decode_unsupported_and_garbage():
+    from ugpg_tpu.native import decode_bmp_native
+
+    _bmp_or_skip()
+    assert decode_bmp_native(b"not a bmp") is None
+    # truncated pixel data
+    g = np.random.default_rng(13)
+    img = (g.random((16, 16, 3)) * 255).astype(np.uint8)
+    data = _craft_bmp(img, False, 24)
+    assert decode_bmp_native(data[: len(data) - 40]) is None
+
+
+def test_herlev_dataset_bmp_path_uses_native_decoder(tmp_path):
+    """Folder-per-class BMPs decode through the dataset identically."""
+    import io
+
+    from PIL import Image
+
+    from tests.test_data_herlev import write_herlev_tree
+    from ugpg_tpu.data.herlev import HerlevDataset
+
+    root = write_herlev_tree(tmp_path / "H")
+    ds = HerlevDataset(str(root), image_size=32, split="train", augment=False,
+                       verbose=False)
+    x, y = ds[0]
+    assert x.shape == (32, 32, 3) and 0.0 <= x.min() and x.max() <= 1.0
+    # the on-disk sample decodes identically native vs PIL
+    from ugpg_tpu.native import decode_bmp_native
+
+    p = ds.samples[0]
+    if str(p).lower().endswith(".bmp"):
+        want = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(decode_bmp_native(p), want)

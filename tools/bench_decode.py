@@ -103,6 +103,31 @@ def main(argv=None):
     else:
         print("native png decoder unavailable", file=sys.stderr)
 
+    from ugpg_tpu.native import bmp_available, decode_bmp_native
+
+    if bmp_available():
+        # Herlev cell images are small variable-size BMPs (~150x140)
+        img = tissue_like(150, seed=2)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="BMP")
+        data = b.getvalue()
+        got = decode_bmp_native(data)
+        assert got is not None and np.array_equal(got, img)
+        iters = args.iters * 10  # sub-ms per decode: more reps for signal
+        t_nat = timeit(lambda: decode_bmp_native(data), iters)
+        t_pil = timeit(
+            lambda: np.asarray(Image.open(io.BytesIO(data)).convert("RGB")),
+            iters,
+        )
+        rows.append({
+            "format": "bmp", "compression": "none",
+            "file_mib": len(data) / 2**20,
+            "native_ms": t_nat * 1e3, "pil_ms": t_pil * 1e3,
+            "speedup": t_pil / t_nat,
+        })
+    else:
+        print("native bmp decoder unavailable", file=sys.stderr)
+
     for r in rows:
         print(
             f"{r['format']:5s} {r['compression']:9s} file={r['file_mib']:.1f}MiB"

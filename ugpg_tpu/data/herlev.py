@@ -187,7 +187,18 @@ class HerlevDataset:
         path = self.samples[idx]
         label = self.labels[idx]
         try:
-            image = Image.open(path).convert("RGB")
+            image = None
+            if str(path).lower().endswith(".bmp"):
+                # native C++ decode for the Herlev BMP hot path (GIL-free,
+                # parallel in the threaded loader); PIL still does the
+                # resize below so interpolation semantics are unchanged
+                from ugpg_tpu.native import decode_bmp_native
+
+                arr8 = decode_bmp_native(path)
+                if arr8 is not None:
+                    image = Image.fromarray(arr8)
+            if image is None:
+                image = Image.open(path).convert("RGB")
         except Exception as e:  # corrupted-image fallback (ref :245-250)
             print(f"Error loading image {path}: {e}")
             image = Image.new("RGB", self.image_size[::-1], color=(0, 0, 0))

@@ -1,6 +1,6 @@
 """ctypes bindings for the native (C++) preprocessing kernels.
 
-Three components, each built on first use (g++ -O3, cached next to the
+Four components, each built on first use (g++ -O3, cached next to the
 source) and degrading gracefully to the Python/PIL implementations when no
 compiler is available:
 
@@ -12,6 +12,7 @@ compiler is available:
   true parallel.
 * ``libtiffdec.so`` — whole-slide TIFF decode (the native-resolution
   eval/fine-tune per-slide hot path; see ``tiff_decode.cpp``).
+* ``libbmpdec.so`` — Herlev cell-image BMP decode (``bmp_decode.cpp``).
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ __all__ = [
     "decode_png_native",
     "tiff_available",
     "decode_tiff_native",
+    "bmp_available",
+    "decode_bmp_native",
 ]
 
 _HERE = Path(__file__).parent
@@ -254,6 +257,14 @@ tiff_available, _decode_tiff = _make_decoder(
 )
 
 
+# info outputs: (bitcount, compression) — bmp_info already returns nonzero
+# outside the supported profile (24/32-bit BI_RGB)
+bmp_available, _decode_bmp = _make_decoder(
+    "bmp_decode.cpp", "libbmpdec.so", [], "bmp_info",
+    "bmp_decode_rgb8", lambda bitcount, comp: True,
+)
+
+
 def decode_png_native(source) -> np.ndarray | None:
     """Decode an 8-bit RGB non-interlaced PNG -> (H, W, 3) uint8.
 
@@ -275,3 +286,14 @@ def decode_tiff_native(source) -> np.ndarray | None:
     to PIL) and raises only on I/O errors.
     """
     return _decode_tiff(source)
+
+
+def decode_bmp_native(source) -> np.ndarray | None:
+    """Decode a Herlev-style BMP -> (H, W, 3) uint8 RGB.
+
+    Supported profile (see bmp_decode.cpp): 'BM' + BITMAPINFOHEADER,
+    24/32-bit uncompressed BI_RGB, bottom-up or top-down.  ``source``: a
+    path or a bytes object.  Returns None when the file is outside the
+    profile (callers fall back to PIL) and raises only on I/O errors.
+    """
+    return _decode_bmp(source)
