@@ -106,16 +106,22 @@ def _chained_forward_rate(forward, variables, shape, batches, jnp, iters=10):
     return _best_rate(run_chain, batches, iters)
 
 
-def bench_config2(jnp, jax):
+def bench_config2(jnp, jax, cpu_fallback=False):
     """Flagship: bf16 AND W8A8-int8 stage-4 inference; the headline value is
     the best demonstrated path (int8, +6.4% on v5e — BASELINE.md), with the
-    bf16 number reported alongside in the same JSON line."""
+    bf16 number reported alongside in the same JSON line.
+
+    ``cpu_fallback`` (set by main() when the TPU tunnel is down) runs a
+    reduced, honestly-labelled XLA:CPU measurement: f32 (torch baseline's
+    dtype), small batch, no int8 path — still the same chained methodology,
+    still apples-to-apples with the torch-CPU baseline on this host."""
     from ugpg_tpu.models.folding import fold_batchnorm
     from ugpg_tpu.models.pgunet import PGUNet4
     from ugpg_tpu.ops.quant import calibrate, quantize_weights, quantized_forward
     from ugpg_tpu.uncertainty import binary_uncertainty
 
-    module = PGUNet4(num_classes=1, dtype=jnp.bfloat16)
+    dtype = jnp.float32 if cpu_fallback else jnp.bfloat16
+    module = PGUNet4(num_classes=1, dtype=dtype)
     variables = jax.device_put(
         module.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)), False)
     )
@@ -128,11 +134,23 @@ def bench_config2(jnp, jax):
         x = x + i * 1e-6 + s * 1e-38
         logits = module.apply(v, x, False)
         probs = jax.nn.sigmoid(logits)
-        preds = (probs > 0.5).astype(jnp.bfloat16)
+        preds = (probs > 0.5).astype(dtype)
         unc = binary_uncertainty(probs)
         # return the full maps: the executable must materialize exactly what
         # serving emits (no dead-code elimination of preds/probs/unc)
         return preds, probs, unc, jnp.sum(unc)
+
+    if cpu_fallback:
+        rate, batch = _chained_forward_rate(
+            forward, variables, (256, 256, 3), (8,), jnp, iters=4
+        )
+        return {
+            "metric": "stage4_256px_inference_with_uncertainty_img_per_s",
+            "value": round(rate, 2),
+            "unit": "img/s (XLA:CPU fallback)",
+            "batch": batch,
+            "path": "f32_cpu_fallback",
+        }
 
     rate_bf16, batch_bf16 = _chained_forward_rate(
         forward, variables, (256, 256, 3), (64, 128), jnp
@@ -209,9 +227,10 @@ def bench_config1(jnp, jax):
     }
 
 
-def bench_config3(jnp, jax):
+def bench_config3(jnp, jax, cpu_fallback=False):
     """Herlev classification: bf16 AND int8-encoder paths (int8 measured
-    +44% on v5e — BASELINE.md); headline value = best path, both reported."""
+    +44% on v5e — BASELINE.md); headline value = best path, both reported.
+    ``cpu_fallback``: see bench_config2."""
     from ugpg_tpu.models.classifier import HerlevClassificationModel
     from ugpg_tpu.models.folding import fold_batchnorm
     from ugpg_tpu.ops.quant import (
@@ -220,7 +239,8 @@ def bench_config3(jnp, jax):
         quantized_cls_forward,
     )
 
-    module = HerlevClassificationModel(stage=4, num_classes=7, dtype=jnp.bfloat16)
+    dtype = jnp.float32 if cpu_fallback else jnp.bfloat16
+    module = HerlevClassificationModel(stage=4, num_classes=7, dtype=dtype)
     variables = jax.device_put(
         module.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), False)
     )
@@ -231,6 +251,18 @@ def bench_config3(jnp, jax):
         logits = module.apply(v, x + i * 1e-6 + s * 1e-38, False)
         probs = jax.nn.softmax(logits, axis=-1)
         return probs, jnp.sum(probs)
+
+    if cpu_fallback:
+        rate, batch = _chained_forward_rate(
+            forward, variables, (224, 224, 3), (16,), jnp, iters=4
+        )
+        return {
+            "metric": "stage4_herlev_cls_inference_img_per_s",
+            "value": round(rate, 2),
+            "unit": "img/s (XLA:CPU fallback)",
+            "batch": batch,
+            "path": "f32_cpu_fallback",
+        }
 
     rate_bf16, batch_bf16 = _chained_forward_rate(
         forward, variables, (224, 224, 3), (16, 256), jnp
@@ -368,25 +400,110 @@ def bench_config5(jnp, jax):
 BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5}
 
+# configs that implement a reduced honest CPU measurement when the tunnel
+# is down (the driver's default invocation is config 2)
+_CPU_FALLBACK_CONFIGS = {2, 3}
+
+
+def _machine_tag() -> str:
+    """CPU-feature fingerprint for the XLA:CPU persistent-cache key (AOT
+    results embed compile-machine features; foreign entries risk SIGILL —
+    the round-2 dryrun failure mode). Mirrors tests/conftest.py."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            src = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        src = platform.processor() or platform.machine()
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
+def _probe_backend(max_init_s: float) -> bool:
+    """True if the default jax backend (the axon TPU tunnel, when present)
+    initializes AND executes a trivial op within ``max_init_s``.
+
+    Runs in a subprocess: a hung tunnel blocks ``jax.devices()``
+    uninterruptibly in-process (observed for hours), so the only safe
+    watchdog is kill-from-outside."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(jax.devices()[0]);"
+        "jnp.zeros(()).block_until_ready()"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=max_init_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=int, default=2, choices=sorted(BENCHES))
+    p.add_argument(
+        "--max_init_s", type=float, default=300.0,
+        help="watchdog for backend init: if the (tunneled) TPU backend does "
+             "not come up within this many seconds, fall back to an "
+             "honestly-labelled XLA:CPU measurement instead of hanging",
+    )
+    p.add_argument(
+        "--backend", choices=("auto", "default", "cpu"), default="auto",
+        help="'auto' probes the default backend with the watchdog; "
+             "'default' skips the probe (hang risk); 'cpu' forces the "
+             "CPU-fallback measurement",
+    )
     args = p.parse_args(argv)
 
+    import os
     import sys
 
     # heartbeats on stderr (stdout stays one JSON line): the axon TPU
     # tunnel can hang backend init for hours — a timed-out bench run must
     # leave a tail that says WHERE it hung, like the dryrun's phase marks
+    cpu_fallback = args.backend == "cpu"
+    fallback_note = "forced via --backend cpu"
+    if args.backend == "auto":
+        print(f"[bench] config {args.config}: probing backend "
+              f"(watchdog {args.max_init_s:.0f}s) ...",
+              file=sys.stderr, flush=True)
+        if not _probe_backend(args.max_init_s):
+            cpu_fallback = True
+            fallback_note = (
+                f"tpu backend init exceeded {args.max_init_s:.0f}s "
+                f"(tunnel down); XLA:CPU fallback"
+            )
+            print(f"[bench] {fallback_note}", file=sys.stderr, flush=True)
+
+    if cpu_fallback:
+        if args.config not in _CPU_FALLBACK_CONFIGS:
+            print(f"[bench] config {args.config} has no CPU-fallback "
+                  f"variant; aborting", file=sys.stderr, flush=True)
+            return 1
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     print(f"[bench] config {args.config}: initializing jax backend ...",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     import jax
 
+    if cpu_fallback:
+        # the axon sitecustomize force-sets jax_platforms='axon,cpu',
+        # overriding the env var — override it back
+        jax.config.update("jax_platforms", "cpu")
+        cache_dir = f"/tmp/ugpg_jax_cache_cpu_{_machine_tag()}"
+    else:
+        cache_dir = "/tmp/ugpg_jax_cache"
     # persistent compilation cache: repeated driver runs skip the (remote)
     # compile entirely
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ugpg_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
@@ -394,15 +511,20 @@ def main(argv=None):
     print(f"[bench] backend up: {devices[0]} "
           f"({time.perf_counter() - t0:.1f}s); running ...",
           file=sys.stderr, flush=True)
-    result = BENCHES[args.config](jnp, jax)
+    if cpu_fallback:
+        result = BENCHES[args.config](jnp, jax, cpu_fallback=True)
+        result["device"] = f"cpu-fallback ({fallback_note})"
+    else:
+        result = BENCHES[args.config](jnp, jax)
+        result["device"] = str(devices[0])
     base = _baseline(args.config)
     result["vs_baseline"] = (
         round(result["value"] / base, 2) if base else None
     )
     result["config"] = args.config
-    result["device"] = str(devices[0])
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
