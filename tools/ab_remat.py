@@ -56,24 +56,37 @@ def build_step(jnp, remat: bool, res: int, batch: int, accum: int):
     state = jax.device_put(TrainState.create(v_cur, tx))
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((batch, res, res, 3), dtype=np.float32))
+    images = rng.random((batch, res, res, 3), dtype=np.float32)
     masks = jnp.asarray(
         (rng.random((batch, res, res, 1)) > 0.5).astype(np.float32)
     )
     pos_w = jnp.asarray(5.0, jnp.float32)
     key = jax.random.key(2)
-    return step, state, v_prev, (images, masks), pos_w, key
+    return step, state, v_prev, images, masks, pos_w, key
 
 
 def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
     import jax
     import jax.numpy as jnp
 
-    step, state, v_prev, batch_arrays, pos_w, key = build_step(
+    step, state, v_prev, images_np, masks, pos_w, key = build_step(
         jnp, remat, res, batch, accum
     )
 
-    lowered = step.lower(state, v_prev, batch_arrays, pos_w, key)
+    # every timed call gets bit-distinct image inputs (host-salted, staged
+    # to HBM before the clock starts): a remote/tunneled runtime caches
+    # executions keyed on argument buffers, and the chained donated state
+    # alone does NOT defeat it — identical image handles let it serve
+    # repeats without executing (first attempt measured 0.88 ms/step for a
+    # batch-8 stage-4 fwd+bwd, 8.6x above v5e bf16 peak — impossible).
+    # bench.py's chained-salt methodology, applied here.
+    salted = [
+        jax.device_put(jnp.asarray(images_np + np.float32(1e-6 * (i + 1))))
+        for i in range(iters + 1)
+    ]
+    jax.block_until_ready(salted)
+
+    lowered = step.lower(state, v_prev, (salted[0], masks), pos_w, key)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
     stats = {
@@ -86,11 +99,13 @@ def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
     # would compile the identical program a second time (the AOT compile
     # does not populate the jit cache), doubling wall time on TPU.
     # donate_argnums=(0,) is baked in: pass fresh state each call.
-    state, metrics = compiled(state, v_prev, batch_arrays, pos_w, key)
+    state, metrics = compiled(state, v_prev, (salted[0], masks), pos_w, key)
     jax.block_until_ready(metrics["final_loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = compiled(state, v_prev, batch_arrays, pos_w, key)
+    for i in range(iters):
+        state, metrics = compiled(
+            state, v_prev, (salted[i + 1], masks), pos_w, key
+        )
     jax.block_until_ready(metrics["final_loss"])
     dt = (time.perf_counter() - t0) / iters
     stats["step_s"] = dt
@@ -105,9 +120,17 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument(
+        "--arm", choices=("both", "plain", "remat"), default="both",
+        help="measure one arm only (each arm's TPU compile is ~7 min "
+        "through the tunnel; with JAX_COMPILATION_CACHE_DIR set, a rerun "
+        "reuses the compile)",
+    )
     args = p.parse_args(argv)
 
     import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ugpg_tpu_cache")
 
     import jax
 
@@ -125,14 +148,17 @@ def main(argv=None):
 
     out = {"res": args.res, "batch": args.batch, "accum": args.accum,
            "backend": jax.default_backend()}
-    for name, remat in (("plain", False), ("remat", True)):
+    arms = (("plain", False), ("remat", True))
+    if args.arm != "both":
+        arms = tuple(a for a in arms if a[0] == args.arm)
+    for name, remat in arms:
         s = measure(remat, args.res, args.batch, args.iters, args.accum)
         out[name] = s
         print(f"[{name}] temp={s['temp_bytes']/2**20:.1f} MiB  "
               f"step={s['step_s']*1e3:.2f} ms  {s['img_per_s']:.1f} img/s  "
               f"loss={s['loss']:.5f}", file=sys.stderr)
 
-    if out["plain"]["temp_bytes"] > 0:
+    if "plain" in out and "remat" in out and out["plain"]["temp_bytes"] > 0:
         out["temp_ratio"] = out["remat"]["temp_bytes"] / out["plain"]["temp_bytes"]
         out["time_ratio"] = out["remat"]["step_s"] / out["plain"]["step_s"]
     print(json.dumps(out))
