@@ -79,9 +79,21 @@ def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
     # alone does NOT defeat it — identical image handles let it serve
     # repeats without executing (first attempt measured 0.88 ms/step for a
     # batch-8 stage-4 fwd+bwd, 8.6x above v5e bf16 peak — impossible).
-    # bench.py's chained-salt methodology, applied here.
+    # bench.py's chained-salt methodology, applied here: the time-derived
+    # per-PROCESS salt means a rerun of the same command also never
+    # presents buffers a cross-process content-keyed cache has seen.
+    staged = images_np.nbytes * (iters + 1)
+    if staged > 2 * 2**30:
+        raise SystemExit(
+            f"staging {staged / 2**30:.1f} GiB of salted image batches to "
+            f"HBM ({iters + 1} x {images_np.nbytes / 2**20:.0f} MiB) risks "
+            "OOM next to the model+activations on a v5e; reduce --iters "
+            "or --batch (every timed call needs its own pre-staged buffer "
+            "so the remote runtime cannot serve cached executions)"
+        )
+    process_salt = np.float32((time.time_ns() % 1_000_000) * 1e-9)
     salted = [
-        jax.device_put(jnp.asarray(images_np + np.float32(1e-6 * (i + 1))))
+        jax.device_put(images_np + process_salt + np.float32(1e-6 * (i + 1)))
         for i in range(iters + 1)
     ]
     jax.block_until_ready(salted)
