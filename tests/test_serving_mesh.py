@@ -1,0 +1,108 @@
+"""Data-parallel serving: Predictor(mesh=...) GSPMD buckets.
+
+Each bucket compiles as one GSPMD program with the request batch sharded
+over the mesh 'data' axis and the weights replicated — the multi-chip
+serving analog of the trainers' mesh= path (the reference serves strictly
+single-device, ref: test_monuseg.py:105-162).  Runs on the fake 8-device
+CPU mesh (conftest).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ugpg_tpu.eval.serving import BatchingServer, Predictor
+from ugpg_tpu.io.checkpoint import save_checkpoint
+from ugpg_tpu.models.pgunet import PGUNet1
+from ugpg_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_mesh")
+    module = PGUNet1(num_classes=1)
+    v = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), False)
+    return save_checkpoint(tmp / "s1", v, metadata={"stage": 1})
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=8)
+
+
+def test_mesh_predictor_matches_single_device(ckpt, mesh, rng):
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8, 16), mesh=mesh)
+    ps = Predictor(str(ckpt), dtype=None, buckets=(8, 16))
+    x = rng.random((16, 32, 32, 3)).astype(np.float32)
+    out_m = pm(x)
+    out_s = ps(x)
+    for a, b in zip(out_m, out_s):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_mesh_predictor_shards_batch_over_data(ckpt, mesh):
+    p = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh)
+    in_sh, _ = p._compiled[8].input_shardings
+    # arg 1 is the image batch: sharded over 'data' on the leading axis
+    batch_sharding = in_sh[1]
+    assert batch_sharding.is_equivalent_to(p._batch_sharding, 4)
+    # the weights are replicated (every leaf's sharding spec is empty)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(
+            lambda s: s.is_equivalent_to(p._var_sharding, 1), in_sh[0]
+        )
+    )
+
+
+def test_mesh_predictor_ragged_and_padding(ckpt, mesh, rng):
+    """Ragged requests route/pad exactly as on one chip."""
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh)
+    ps = Predictor(str(ckpt), dtype=None, buckets=(8,))
+    for n in (1, 5, 11):
+        x = rng.random((n, 32, 32, 3)).astype(np.float32)
+        for a, b in zip(pm(x), ps(x)):
+            assert a.shape[0] == n
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_mesh_predictor_rejects_indivisible_buckets(ckpt, mesh):
+    with pytest.raises(ValueError, match="do not divide"):
+        Predictor(str(ckpt), dtype=None, buckets=(8, 12), mesh=mesh)
+
+
+def test_mesh_predictor_rejects_mesh_without_data_axis(ckpt):
+    from jax.sharding import Mesh
+
+    m = Mesh(np.asarray(jax.devices()[:8]).reshape(8), axis_names=("model",))
+    with pytest.raises(ValueError, match="'data' axis"):
+        Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=m)
+
+
+def test_mesh_predictor_under_batching_server(ckpt, mesh, rng):
+    """Concurrent single-image submits coalesce into sharded device calls."""
+    p = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh)
+    server = BatchingServer(p, max_latency_ms=30.0)
+    images = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(8)]
+    futs = [server.submit(im) for im in images]
+    outs = [f.result(timeout=60) for f in futs]
+    server.close()
+    ps = Predictor(str(ckpt), dtype=None, buckets=(8,))
+    ref = ps(np.stack(images))
+    for i, out in enumerate(outs):
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(a, b[i], rtol=0, atol=1e-6)
+
+
+def test_mesh_predictor_export_roundtrip(ckpt, mesh, rng, tmp_path):
+    """export() from a mesh predictor yields a single-device artifact with
+    identical outputs."""
+    from ugpg_tpu.eval.exported import ExportedPredictor
+
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh)
+    art = pm.export(tmp_path / "art", platforms=("cpu",))
+    pe = ExportedPredictor(art)
+    x = rng.random((8, 32, 32, 3)).astype(np.float32)
+    for a, b in zip(pm(x), pe(x)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)

@@ -112,7 +112,10 @@ class _BucketRouter:
         if n < bucket:
             pad = np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)
             chunk = np.concatenate([chunk, pad])
-        outs = self._dispatch(bucket, jnp.asarray(chunk))
+        # hand the host array to _dispatch as-is: each backend places it
+        # (a mesh-sharded Predictor device_puts straight to per-chip
+        # shards; single-device paths let the executable stage it)
+        outs = self._dispatch(bucket, chunk)
         return tuple(o[:n] for o in outs)
 
     def __call__(self, images: np.ndarray):

@@ -78,6 +78,7 @@ class Predictor(_BucketRouter):
         quantize: bool = False,
         calibration_batches=None,
         compact_output: bool = False,
+        mesh=None,
     ):
         """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
         RGB requests (scaled to [0,1] on device): 4x less host->device
@@ -103,6 +104,15 @@ class Predictor(_BucketRouter):
         fetches ~100 MB of f32 maps; the maps, not the compute, dominate
         the wall over any network/PCIe link); float16 is exact to ~5e-4
         on [0, 1] probabilities.
+
+        ``mesh`` (a ``jax.sharding.Mesh`` with a ``'data'`` axis, e.g.
+        ``parallel.mesh.make_mesh()``): data-parallel serving — every
+        bucket compiles as ONE GSPMD program with the request batch
+        sharded over ``'data'`` and the weights replicated, so one
+        ``Predictor`` saturates a whole slice (ICI collectives, not a
+        Python fan-out).  Buckets must divide by the ``'data'`` axis size;
+        outputs are gathered to host exactly as in the single-chip path.
+        Numerically identical to an unsharded predictor per image.
         """
         _BucketRouter.__init__(self)
         if task_type not in ("segmentation", "classification"):
@@ -119,6 +129,28 @@ class Predictor(_BucketRouter):
         self.batch_size = self.buckets[-1]
         self.stage = sniff_stage(checkpoint, default=4)
 
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh must have a 'data' axis, got {mesh.axis_names}"
+                )
+            n_data = mesh.shape["data"]
+            bad = [b for b in self.buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} do not divide by the mesh 'data' axis "
+                    f"size ({n_data}): each bucket is one GSPMD program "
+                    "with the batch split evenly over chips"
+                )
+            self._var_sharding = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            n_data = 1
+            self._var_sharding = self._batch_sharding = None
+
         if quantize:
             if calibration_batches is None:
                 raise ValueError(
@@ -127,15 +159,18 @@ class Predictor(_BucketRouter):
                     "distribution (activation scales calibrated on random "
                     "data silently degrade accuracy, so there is no default)"
                 )
+            # the 128 optimum is a per-chip tiling property: under a mesh
+            # each chip sees bucket/n_data images per call
             if (
                 task_type == "segmentation"
-                and self.batch_size >= 32
-                and self.batch_size % 128 != 0
+                and self.batch_size // n_data >= 32
+                and (self.batch_size // n_data) % 128 != 0
             ):
                 import warnings
 
                 warnings.warn(
-                    f"quantize=True with largest bucket {self.batch_size}: "
+                    f"quantize=True with largest per-chip bucket "
+                    f"{self.batch_size // n_data}: "
                     "batch 128 is a sharp measured optimum for the int8 seg "
                     "path on TPU v5e — off-128 throughput buckets run SLOWER "
                     "than bf16 (BASELINE.md batch-size sensitivity); use a "
@@ -248,7 +283,10 @@ class Predictor(_BucketRouter):
                     unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
                     return preds, probs.astype(map_dtype), unc.astype(map_dtype)
 
-        self.variables = jax.device_put(variables)
+        self.variables = jax.device_put(
+            variables,
+            *([] if self._var_sharding is None else [self._var_sharding]),
+        )
         self._n_outputs = n_outputs
         res = self.resolution
 
@@ -268,16 +306,28 @@ class Predictor(_BucketRouter):
 
     def _compile_buckets(self, entry, res, in_dtype) -> None:
         self._compiled = {}
+        if self._batch_sharding is not None:
+            # one GSPMD program per bucket: batch over 'data', weights
+            # replicated, outputs gathered with the same batch sharding
+            jitted = jax.jit(
+                entry,
+                in_shardings=(self._var_sharding, self._batch_sharding),
+                out_shardings=self._batch_sharding,
+            )
+        else:
+            jitted = jax.jit(entry)
         for b in self.buckets:
             shape = jax.ShapeDtypeStruct((b, res, res, 3), in_dtype)
-            self._compiled[b] = (
-                jax.jit(entry).lower(self.variables, shape).compile()
-            )
+            self._compiled[b] = jitted.lower(self.variables, shape).compile()
 
     # ------------------------------------------------------------------
     # request routing / coercion / __call__ come from _BucketRouter
     # (eval/exported.py — shared with ExportedPredictor)
     def _dispatch(self, bucket: int, chunk):
+        if self._batch_sharding is not None:
+            # host chunk straight to its per-chip shards (no single-device
+            # staging hop)
+            chunk = jax.device_put(np.asarray(chunk), self._batch_sharding)
         return self._compiled[bucket](self.variables, chunk)
 
     def export(self, path, platforms: Sequence[str] = ("cpu", "tpu")):
@@ -301,6 +351,11 @@ class Predictor(_BucketRouter):
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         variables, entry = self.variables, self._entry
+        if self.mesh is not None:
+            # artifacts are single-device modules (the importer picks its
+            # own distribution); pull the replicated weights to host so the
+            # baked constants carry no mesh/sharding
+            variables = jax.device_get(variables)
         fn = jax.jit(lambda raw: entry(variables, raw))
         res = self.resolution
         for b in self.buckets:
