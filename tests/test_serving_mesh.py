@@ -95,6 +95,22 @@ def test_mesh_predictor_under_batching_server(ckpt, mesh, rng):
             np.testing.assert_allclose(a, b[i], rtol=0, atol=1e-6)
 
 
+def test_mesh_classification_predictor_matches(tmp_path, mesh, rng):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    module = HerlevClassificationModel(stage=1, num_classes=7)
+    v = module.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)), False)
+    ckpt = save_checkpoint(tmp_path / "cls1", v, metadata={"stage": 1})
+    pm = Predictor(str(ckpt), task_type="classification", num_classes=7,
+                   dtype=None, buckets=(8,), mesh=mesh)
+    ps = Predictor(str(ckpt), task_type="classification", num_classes=7,
+                   dtype=None, buckets=(8,))
+    x = rng.random((8, 32, 32, 3)).astype(np.float32)
+    (lab_m, prob_m), (lab_s, prob_s) = pm(x), ps(x)
+    np.testing.assert_array_equal(lab_m, lab_s)
+    np.testing.assert_allclose(prob_m, prob_s, atol=1e-6)
+
+
 def test_mesh_predictor_export_roundtrip(ckpt, mesh, rng, tmp_path):
     """export() from a mesh predictor yields a single-device artifact with
     identical outputs."""
