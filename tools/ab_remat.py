@@ -111,18 +111,24 @@ def measure(remat: bool, res: int, batch: int, iters: int, accum: int):
     # would compile the identical program a second time (the AOT compile
     # does not populate the jit cache), doubling wall time on TPU.
     # donate_argnums=(0,) is baked in: pass fresh state each call.
+    # completion barrier is a HOST FETCH, not block_until_ready: through
+    # the axon tunnel block_until_ready returns before remote execution
+    # finishes (bench.py methodology; first measurement with the b_u_r
+    # barrier reported 0.83 ms for this batch-8 stage-4 fwd+bwd = 4.5x
+    # v5e bf16 peak — impossible).  The chained donated state serializes
+    # every step, so fetching the LAST step's loss bounds them all.
     state, metrics = compiled(state, v_prev, (salted[0], masks), pos_w, key)
-    jax.block_until_ready(metrics["final_loss"])
+    float(metrics["final_loss"])
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = compiled(
             state, v_prev, (salted[i + 1], masks), pos_w, key
         )
-    jax.block_until_ready(metrics["final_loss"])
+    loss = float(metrics["final_loss"])
     dt = (time.perf_counter() - t0) / iters
     stats["step_s"] = dt
     stats["img_per_s"] = batch / dt
-    stats["loss"] = float(metrics["final_loss"])
+    stats["loss"] = loss
     return stats
 
 
