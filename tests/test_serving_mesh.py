@@ -95,6 +95,31 @@ def test_mesh_predictor_under_batching_server(ckpt, mesh, rng):
             np.testing.assert_allclose(a, b[i], rtol=0, atol=1e-6)
 
 
+def test_tp_mesh_predictor_matches_single_device(ckpt, rng):
+    """shard_model=True: wide conv kernels over 'model' (training TP
+    layout), batch over 'data' — still exact vs one chip."""
+    m = make_mesh(n_data=2, n_model=4)
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=m,
+                   shard_model=True)
+    # at least one kernel actually sharded over 'model'
+    leaves = jax.tree_util.tree_leaves(pm.variables)
+    assert any(
+        v.ndim == 4 and "model" in tuple(v.sharding.spec) for v in leaves
+    )
+    ps = Predictor(str(ckpt), dtype=None, buckets=(8,))
+    x = rng.random((8, 32, 32, 3)).astype(np.float32)
+    for a, b in zip(pm(x), ps(x)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_tp_mesh_rejects_quantize(ckpt, rng):
+    m = make_mesh(n_data=2, n_model=4)
+    with pytest.raises(ValueError, match="shard_model"):
+        Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=m,
+                  shard_model=True, quantize=True,
+                  calibration_batches=[rng.random((2, 32, 32, 3))])
+
+
 def test_mesh_classification_predictor_matches(tmp_path, mesh, rng):
     from ugpg_tpu.models.classifier import HerlevClassificationModel
 

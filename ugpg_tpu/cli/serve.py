@@ -43,11 +43,13 @@ def main(argv=None):
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 64])
     p.add_argument("--uint8", action="store_true",
                    help="compile for raw uint8 RGB request tensors")
-    p.add_argument("--mesh", type=int, default=None, metavar="N",
-                   help="data-parallel serving over N chips: every bucket "
-                   "compiles as one GSPMD program with the request batch "
-                   "sharded over a 'data' mesh axis (buckets must divide "
-                   "by N); applies to --model/--cls_model entries")
+    p.add_argument("--mesh", type=str, default=None, metavar="N[,M]",
+                   help="multi-chip serving over an (N data x M model) "
+                   "mesh: every bucket compiles as one GSPMD program with "
+                   "the request batch sharded over 'data' (buckets must "
+                   "divide by N); M>1 additionally shards the wide conv "
+                   "kernels over 'model' (TP, bf16 paths only); applies "
+                   "to --model/--cls_model entries")
     p.add_argument("--compact", action="store_true",
                    help="uint8 preds + float16 maps in responses")
     p.add_argument("--host", default="0.0.0.0")
@@ -67,24 +69,29 @@ def main(argv=None):
 
     registry = ServingRegistry(max_latency_ms=args.max_latency_ms)
     input_dtype = jnp.uint8 if args.uint8 else jnp.float32
-    mesh = None
+    mesh, shard_model = None, False
     if args.mesh is not None:
         from ugpg_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_data=args.mesh)
+        parts = [int(v) for v in args.mesh.split(",")]
+        if len(parts) not in (1, 2):
+            raise SystemExit(f"--mesh expects N or N,M, got {args.mesh!r}")
+        n_data, n_model = parts[0], parts[1] if len(parts) == 2 else 1
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        shard_model = n_model > 1
     for spec in args.model:
         name, ckpt = _split_spec(spec)
         registry.register(name, ckpt, buckets=tuple(args.buckets),
                           input_dtype=input_dtype,
                           compact_output=args.compact, dtype=None,
-                          mesh=mesh)
+                          mesh=mesh, shard_model=shard_model)
     for spec in args.cls_model:
         name, ckpt = _split_spec(spec)
         registry.register(name, ckpt, task_type="classification",
                           num_classes=args.classes,
                           buckets=tuple(args.buckets),
                           input_dtype=input_dtype, dtype=None,
-                          mesh=mesh)
+                          mesh=mesh, shard_model=shard_model)
     for spec in args.artifact:
         name, path = _split_spec(spec)
         registry.register_artifact(name, path)

@@ -79,6 +79,7 @@ class Predictor(_BucketRouter):
         calibration_batches=None,
         compact_output: bool = False,
         mesh=None,
+        shard_model: bool = False,
     ):
         """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
         RGB requests (scaled to [0,1] on device): 4x less host->device
@@ -113,6 +114,13 @@ class Predictor(_BucketRouter):
         Python fan-out).  Buckets must divide by the ``'data'`` axis size;
         outputs are gathered to host exactly as in the single-chip path.
         Numerically identical to an unsharded predictor per image.
+
+        ``shard_model=True`` (with a mesh whose ``'model'`` axis is > 1)
+        additionally shards the wide conv kernels over ``'model'`` — the
+        training TP layout (``parallel.mesh.param_shardings``) applied to
+        serving, for latency on small buckets where DP alone leaves chips
+        idle.  bf16/f32 paths only (the int8 path keeps weights
+        replicated: per-channel scales pin the channel layout).
         """
         _BucketRouter.__init__(self)
         if task_type not in ("segmentation", "classification"):
@@ -147,9 +155,17 @@ class Predictor(_BucketRouter):
                 )
             self._var_sharding = NamedSharding(mesh, PartitionSpec())
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._shard_model = bool(shard_model) and mesh.shape.get("model", 1) > 1
+            if self._shard_model and quantize:
+                raise ValueError(
+                    "shard_model=True is not supported with quantize=True: "
+                    "per-channel int8 scales pin the weight channel layout; "
+                    "use DP-only (int8 is already the faster throughput path)"
+                )
         else:
             n_data = 1
             self._var_sharding = self._batch_sharding = None
+            self._shard_model = False
 
         if quantize:
             if calibration_batches is None:
@@ -283,6 +299,12 @@ class Predictor(_BucketRouter):
                     unc = binary_uncertainty(probs) if emit_unc else jnp.zeros_like(probs)
                     return preds, probs.astype(map_dtype), unc.astype(map_dtype)
 
+        if self._shard_model:
+            # TP layout: wide conv kernels over 'model', rest replicated —
+            # the same partitioning the trainers use
+            from ugpg_tpu.parallel.mesh import param_shardings
+
+            self._var_sharding = param_shardings(variables, mesh, True)
         self.variables = jax.device_put(
             variables,
             *([] if self._var_sharding is None else [self._var_sharding]),
