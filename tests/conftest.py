@@ -40,6 +40,11 @@ def _machine_tag() -> str:
             src = next(line for line in f if line.startswith("flags"))
     except (OSError, StopIteration):
         src = platform.processor() or platform.machine()
+    # jaxlib version is part of the key: XLA:CPU AOT results also embed
+    # compiler-version-dependent pseudo-features (e.g. +prefer-no-scatter)
+    # that /proc/cpuinfo cannot see — a cache written by a different jaxlib
+    # on an identical CPU still spams feature-mismatch load errors.
+    src += " jaxlib=" + getattr(jax, "__version__", "?")
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 

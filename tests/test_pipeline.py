@@ -1,0 +1,202 @@
+"""Pipeline-parallel uncertainty stage (parallel/pipeline.py).
+
+The frozen prev-stage forward runs as its own program on a disjoint device
+group; these tests prove the pipelined trajectory is the SAME computation
+as the fused single-program step (ref semantics: UG_unet.py:19-59 inside
+uncertainty_guided_trainer.py:143-157), just scheduled across two meshes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ugpg_tpu.data.synthetic import disk_dataset
+from ugpg_tpu.models.pgunet import PGUNet1, PGUNet2
+from ugpg_tpu.parallel.pipeline import UncertaintyPipeline, split_devices
+from ugpg_tpu.train.optim import torch_rmsprop
+from ugpg_tpu.train.steps import TrainState, make_seg_train_step
+
+RES, PREV_RES, BATCH, STEPS = 32, 16, 8, 4
+POS_W = 5.0
+
+
+def _models_and_batches(seed=0):
+    m1, m2 = PGUNet1(num_classes=1), PGUNet2(num_classes=1)
+    v1 = m1.init(jax.random.key(seed), jnp.zeros((1, PREV_RES, PREV_RES, 3)), False)
+    v2 = m2.init(jax.random.key(seed + 1), jnp.zeros((1, RES, RES, 3)), False)
+    images, masks = disk_dataset(num_samples=BATCH * STEPS, image_size=RES)
+    batches = [
+        (np.asarray(images[i * BATCH:(i + 1) * BATCH]),
+         np.asarray(masks[i * BATCH:(i + 1) * BATCH]))
+        for i in range(STEPS)
+    ]
+    keys = list(jax.random.split(jax.random.key(7), STEPS))
+    return m1, m2, v1, v2, batches, keys
+
+
+def _fused_trajectory(m1, m2, v1, v2, batches, keys, augment):
+    """Reference: the fused single-program step on one device."""
+    tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+    state = TrainState.create(v2, tx)
+    step = make_seg_train_step(
+        m2, tx, 2, RES, prev_module=m1, prev_resolution=PREV_RES,
+        donate=False, augment=augment,
+    )
+    pos_w = jnp.asarray(POS_W)
+    out = []
+    for (im, ms), k in zip(batches, keys):
+        state, m = step(state, v1, (jnp.asarray(im), jnp.asarray(ms)), pos_w, k)
+        out.append(m)
+    return state, out
+
+
+def _pipelined_trajectory(m1, m2, v1, v2, batches, keys, augment, **kw):
+    tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+    pipe = UncertaintyPipeline(
+        m2, m1, tx, stage=2, resolution=RES, prev_resolution=PREV_RES,
+        augment=augment, donate=False, **kw,
+    )
+    state = pipe.create_state(v2)
+    prev = pipe.place_prev(v1)
+    return pipe, *pipe.run_epoch(state, prev, batches, POS_W, keys)
+
+
+def _assert_matches(want_state, want_ms, got_state, got_ms,
+                    step0_rtol=2e-5, traj_rtol=5e-2):
+    """Step 0 must match tightly (same math, different schedule); later
+    steps loosen to ``traj_rtol`` — RMSprop's early near-sign-descent
+    updates amplify GSPMD reduction-order noise across a trajectory
+    (measured ~2% dice drift by step 2 here; same effect as
+    tests/test_parallel.py::test_seg_trainer_progressive_...)."""
+    for i, (w, g) in enumerate(zip(want_ms, got_ms)):
+        rtol = step0_rtol if i == 0 else traj_rtol
+        for key in ("final_loss", "dice", "uncertainty_weight_mean"):
+            np.testing.assert_allclose(
+                float(g[key]), float(w[key]), rtol=rtol, atol=1e-6,
+                err_msg=f"step {i}: {key}",
+            )
+    wl = jax.tree.leaves(want_state.params)
+    gl = jax.tree.leaves(got_state.params)
+    for w, g in zip(wl, gl):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=traj_rtol, atol=traj_rtol
+        )
+
+
+def test_pipelined_matches_fused_step():
+    m1, m2, v1, v2, batches, keys = _models_and_batches()
+    want_state, want_ms = _fused_trajectory(m1, m2, v1, v2, batches, keys, False)
+    pipe, got_state, got_ms = _pipelined_trajectory(
+        m1, m2, v1, v2, batches, keys, False, n_unc=4,
+    )
+    assert len(got_ms) == STEPS
+    # the two groups really are disjoint
+    train_devs = set(pipe.train_mesh.devices.flat)
+    unc_devs = set(pipe.unc_mesh.devices.flat)
+    assert not train_devs & unc_devs
+    assert float(got_ms[0]["uncertainty_weight_mean"]) > 0.0
+    _assert_matches(want_state, want_ms, got_state, got_ms)
+
+
+def test_pipelined_matches_fused_step_augmented():
+    """Same rng drives the augmentation in BOTH programs -> identical pixels
+    reach the frozen forward, so trajectories still match."""
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=3)
+    want_state, want_ms = _fused_trajectory(m1, m2, v1, v2, batches, keys, True)
+    _, got_state, got_ms = _pipelined_trajectory(
+        m1, m2, v1, v2, batches, keys, True, n_unc=4,
+    )
+    _assert_matches(want_state, want_ms, got_state, got_ms)
+
+
+def test_pipeline_depth_invariance():
+    """depth only changes the schedule, never the math."""
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=5)
+    _, s1, ms1 = _pipelined_trajectory(
+        m1, m2, v1, v2, batches, keys, False, n_unc=4, depth=1,
+    )
+    _, s3, ms3 = _pipelined_trajectory(
+        m1, m2, v1, v2, batches, keys, False, n_unc=4, depth=3,
+    )
+    # identical programs + identical inputs -> identical trajectories
+    _assert_matches(s1, ms1, s3, ms3, step0_rtol=1e-6, traj_rtol=1e-6)
+
+
+def test_cls_pipelined_matches_fused_step():
+    """Classification: per-sample (B,) weights pipelined from the unc group;
+    augmentation AND ImageNet normalization replicated in the producer with
+    the step's exact rng split, dropout keys untouched."""
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+    from ugpg_tpu.train.steps import make_cls_train_step
+
+    res, prev_res, k_cls, batch, steps = 32, 16, 5, 8, 3
+    rng = np.random.default_rng(11)
+    m1 = HerlevClassificationModel(stage=1, num_classes=k_cls)
+    m2 = HerlevClassificationModel(stage=2, num_classes=k_cls)
+    v1 = m1.init(jax.random.key(0), jnp.zeros((1, prev_res, prev_res, 3)), False)
+    v2 = m2.init(jax.random.key(1), jnp.zeros((1, res, res, 3)), False)
+    batches = [
+        (rng.random((batch, res, res, 3)).astype(np.float32),
+         rng.integers(0, k_cls, size=batch).astype(np.int32))
+        for _ in range(steps)
+    ]
+    cw = np.ones((k_cls,), np.float32)
+    keys = list(jax.random.split(jax.random.key(9), steps))
+    common = dict(augment=True, normalize=True)
+
+    tx = torch_rmsprop(1e-4)
+    state = TrainState.create(v2, tx)
+    step = make_cls_train_step(
+        m2, tx, 2, res, k_cls, prev_module=m1, prev_resolution=prev_res,
+        donate=False, **common,
+    )
+    want_ms = []
+    for (im, lb), k in zip(batches, keys):
+        state, m = step(state, v1, (jnp.asarray(im), jnp.asarray(lb)),
+                        jnp.asarray(cw), k)
+        want_ms.append(m)
+
+    tx2 = torch_rmsprop(1e-4)
+    pipe = UncertaintyPipeline(
+        m2, m1, tx2, stage=2, resolution=res, prev_resolution=prev_res,
+        task_type="classification", num_classes=k_cls, n_unc=4,
+        donate=False, **common,
+    )
+    got_state = pipe.create_state(v2)
+    prev = pipe.place_prev(v1)
+    got_state, got_ms = pipe.run_epoch(got_state, prev, batches, cw, keys)
+
+    for i, (w, g) in enumerate(zip(want_ms, got_ms)):
+        rtol = 2e-5 if i == 0 else 5e-2
+        for key in ("final_loss", "uncertainty_weight_mean"):
+            np.testing.assert_allclose(
+                float(g[key]), float(w[key]), rtol=rtol, atol=1e-6,
+                err_msg=f"step {i}: {key}",
+            )
+        assert int(g["correct"]) == int(w["correct"]) or i > 0
+    assert float(got_ms[0]["uncertainty_weight_mean"]) > 1.0  # 1 + alpha*A
+
+
+def test_split_devices_and_validation():
+    train, unc = split_devices(2)
+    assert len(train) == 6 and len(unc) == 2
+    assert not set(train) & set(unc)
+    with pytest.raises(ValueError):
+        split_devices(8)
+    with pytest.raises(ValueError):
+        split_devices(0)
+
+    m1, m2 = PGUNet1(num_classes=1), PGUNet2(num_classes=1)
+    tx = torch_rmsprop(1e-4)
+    with pytest.raises(ValueError):  # stage 1 has nothing to offload
+        UncertaintyPipeline(m2, m1, tx, stage=1, resolution=32, prev_resolution=16)
+    with pytest.raises(ValueError):  # depth must be >= 1
+        UncertaintyPipeline(
+            m2, m1, tx, stage=2, resolution=32, prev_resolution=16, depth=0
+        )
+    with pytest.raises(ValueError):  # producer emits one probs_up per batch
+        make_seg_train_step(
+            m2, tx, 2, 32, external_uncertainty=True, accum_steps=2
+        )

@@ -17,9 +17,10 @@ NEW capability, designed TPU-first:
   reductions are global-batch semantics, so XLA emits the psum — i.e.
   sync-BN for free (SURVEY §7 hard-part #2)
 
-Pipeline/sequence/expert parallelism are deliberately n/a for this model
-family (no attention, no experts, 256px max); the progressive *stage*
-pyramid is the natural inter-job pipeline (SURVEY §2h).
+Expert parallelism is deliberately n/a for this model family (no experts).
+Sequence parallelism's analog is the spatial halo grid (parallel/spatial.py)
+and pipeline parallelism's is the frozen prev-stage uncertainty forward
+running on its own device group (parallel/pipeline.py) — SURVEY §2h.
 """
 
 from __future__ import annotations

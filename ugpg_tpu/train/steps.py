@@ -105,6 +105,7 @@ def make_seg_train_step(
     augment: bool = False,
     fused_loss: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
 ) -> Callable:
     """Build the jitted segmentation train step for one stage.
 
@@ -120,6 +121,14 @@ def make_seg_train_step(
     (single-pass HBM reduction, no per-pixel loss tensor kept for the
     backward; see ops/pallas/uncertainty_fused.py).
 
+    ``external_uncertainty=True`` removes the frozen prev-model forward
+    from the program: the ``prev_variables`` slot instead carries the
+    PRE-COMPUTED upsampled previous-stage probabilities ``probs_up``
+    (B, resolution, resolution, K) — produced by a separate program,
+    typically on a disjoint device group (pipeline parallelism, see
+    parallel/pipeline.py).  The uncertainty map is derived from it
+    in-graph (pointwise, stop-gradient); everything else is identical.
+
     ``accum_steps=K`` (gradient accumulation): the batch (size K*m) runs
     as K sequential micro-batches inside ONE XLA program — activations
     live for m samples at a time, gradients average across the K
@@ -130,7 +139,7 @@ def make_seg_train_step(
     """
     step = _build_seg_train_body(
         module, tx, stage, resolution, prev_module, prev_resolution,
-        alpha, augment, fused_loss, accum_steps,
+        alpha, augment, fused_loss, accum_steps, external_uncertainty,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -184,31 +193,48 @@ def _build_seg_train_body(
     augment: bool = False,
     fused_loss: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
 ) -> Callable:
     """Un-jitted seg train-step body, shared by the per-step jit and the
     ``lax.scan`` whole-epoch program (``make_seg_train_epoch``)."""
-    use_unc = stage > 1 and prev_module is not None
+    use_unc = stage > 1 and (prev_module is not None or external_uncertainty)
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if external_uncertainty and accum_steps != 1:
+        raise ValueError(
+            "external_uncertainty (pipelined prev-stage forward) does not "
+            "compose with accum_steps > 1: the producer program emits one "
+            "probs_up per full batch"
+        )
 
     def micro(params, batch_stats, prev_variables, images, masks,
               pos_weight, rng):
-        """Grads + metrics for one (micro-)batch at fixed ``params``."""
+        """Grads + metrics for one (micro-)batch at fixed ``params``.
+
+        ``prev_variables`` is the frozen previous-stage variable tree, or —
+        with ``external_uncertainty`` — the precomputed ``probs_up`` array
+        from the pipelined producer program (parallel/pipeline.py).
+        """
         x = resize_bilinear_align_corners(images, (resolution, resolution))
         y = resize_nearest(masks, (resolution, resolution))
         if augment:
             x, y = augment_monuseg_batch(rng, x, y)
 
         if use_unc:
-            x_prev = resize_bilinear_align_corners(
-                x, (prev_resolution, prev_resolution)
-            )
-            probs_prev = jax.nn.sigmoid(
-                prev_module.apply(prev_variables, x_prev, False)
-            )
-            probs_up = jax.lax.stop_gradient(
-                resize_bilinear_align_corners(probs_prev, (resolution, resolution))
-            )
+            if external_uncertainty:
+                probs_up = jax.lax.stop_gradient(prev_variables)
+            else:
+                x_prev = resize_bilinear_align_corners(
+                    x, (prev_resolution, prev_resolution)
+                )
+                probs_prev = jax.nn.sigmoid(
+                    prev_module.apply(prev_variables, x_prev, False)
+                )
+                probs_up = jax.lax.stop_gradient(
+                    resize_bilinear_align_corners(
+                        probs_prev, (resolution, resolution)
+                    )
+                )
             unc_map = jax.lax.stop_gradient(binary_uncertainty(probs_up))
         else:
             probs_up = None
@@ -352,6 +378,7 @@ def make_cls_train_step(
     augment: bool = False,
     normalize: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
 ) -> Callable:
     """Classification train step (ref: Herlev/train_herlev.py:216-296).
 
@@ -377,10 +404,16 @@ def make_cls_train_step(
     when class composition varies across micro-batches.  The
     uncertainty-weighted loss (stage>1) is a plain mean and composes
     exactly.
+
+    ``external_uncertainty=True``: the ``prev_variables`` slot instead
+    carries PRE-COMPUTED per-sample uncertainty weights ``(B,)`` from the
+    pipelined producer program (parallel/pipeline.py) and the frozen
+    prev-model forward drops out of this program.
     """
     step = _build_cls_train_body(
         module, tx, stage, resolution, num_classes, prev_module,
         prev_resolution, alpha, augment, normalize, accum_steps,
+        external_uncertainty,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -397,10 +430,17 @@ def _build_cls_train_body(
     augment: bool = False,
     normalize: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
 ) -> Callable:
-    use_unc = stage > 1 and prev_module is not None
+    use_unc = stage > 1 and (prev_module is not None or external_uncertainty)
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if external_uncertainty and accum_steps != 1:
+        raise ValueError(
+            "external_uncertainty (pipelined prev-stage forward) does not "
+            "compose with accum_steps > 1: the producer program emits one "
+            "weight vector per full batch"
+        )
 
     def micro(params, batch_stats, prev_variables, images, labels,
               class_weights, rng):
@@ -412,13 +452,16 @@ def _build_cls_train_body(
         x = resize_bilinear_align_corners(images, (resolution, resolution))
 
         if use_unc:
-            x_prev = resize_bilinear_align_corners(
-                x, (prev_resolution, prev_resolution)
-            )
-            prev_logits = prev_module.apply(prev_variables, x_prev, False)
-            unc_weights = classification_uncertainty_weights(
-                prev_logits, num_classes, alpha
-            )
+            if external_uncertainty:
+                unc_weights = jax.lax.stop_gradient(prev_variables)
+            else:
+                x_prev = resize_bilinear_align_corners(
+                    x, (prev_resolution, prev_resolution)
+                )
+                prev_logits = prev_module.apply(prev_variables, x_prev, False)
+                unc_weights = classification_uncertainty_weights(
+                    prev_logits, num_classes, alpha
+                )
         else:
             unc_weights = None
 
