@@ -120,7 +120,15 @@ def main(argv=None):
                             mesh=parse_mesh(args.mesh),
                             checkpoint_backend=args.checkpoint_backend)
     try:
-        trainer.train_progressive(train_loaders, val_loaders, config["output_dir"])
+        from ugpg_tpu.utils.preemption import PreemptionGuard
+
+        # SIGTERM -> herlev_stage{S}_last checkpoint + early return;
+        # __main__ exits 75 (EX_TEMPFAIL) so schedulers requeue
+        with PreemptionGuard() as guard:
+            trainer.train_progressive(
+                train_loaders, val_loaders, config["output_dir"],
+                preemption=guard,
+            )
         cfg_path = os.path.join(config["output_dir"], "config.json")
         with open(cfg_path, "w") as f:
             json.dump(config, f, indent=2, default=str)
@@ -131,4 +139,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    _trainer = main()
+    sys.exit(75 if getattr(_trainer, "preempted", False) else 0)

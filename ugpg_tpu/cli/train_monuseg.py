@@ -193,18 +193,26 @@ def main(argv=None):
 
     interrupted = False
     if stages:
+        from ugpg_tpu.utils.preemption import PreemptionGuard
+
         try:
-            trainer.train_progressive(
-                train_loaders,
-                val_loaders,
-                save_dir=config["output_dir"],
-                stages=stages,
-                checkpoint_every=args.checkpoint_every,
-                resume=config["resume"],
-            )
+            # SIGTERM (Cloud TPU maintenance / scheduler eviction) ->
+            # rolling checkpoint + early return; __main__ exits 75
+            # (EX_TEMPFAIL) so schedulers requeue with --resume
+            with PreemptionGuard() as guard:
+                trainer.train_progressive(
+                    train_loaders,
+                    val_loaders,
+                    save_dir=config["output_dir"],
+                    stages=stages,
+                    checkpoint_every=args.checkpoint_every,
+                    resume=config["resume"],
+                    preemption=guard,
+                )
         except KeyboardInterrupt:
             interrupted = True
             print("Training interrupted by user")
+        interrupted = interrupted or getattr(trainer, "preempted", False)
 
     if args.native_finetune and interrupted:
         print("Skipping --native_finetune after interrupt")
@@ -239,4 +247,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    _trainer = main()
+    # 75 = EX_TEMPFAIL: tell schedulers to requeue the (resumable) job
+    sys.exit(75 if getattr(_trainer, "preempted", False) else 0)

@@ -528,8 +528,16 @@ class HerlevTrainer:
         return self._reduce_epoch(collected)
 
     # ------------------------------------------------------------------
-    def train_progressive(self, train_loaders, val_loaders, save_dir: str):
-        """Stage loop with early stopping + best-acc checkpoints (ref: :404-503)."""
+    def train_progressive(self, train_loaders, val_loaders, save_dir: str,
+                          preemption=None):
+        """Stage loop with early stopping + best-acc checkpoints (ref: :404-503).
+
+        ``preemption`` (``utils.preemption.PreemptionGuard``): polled at each
+        epoch boundary; when armed, saves a ``herlev_stage{S}_last``
+        checkpoint (variables + optimizer state + epoch + config) and
+        returns early — restart seeds from it via ``load_checkpoint`` /
+        the ``pretrained`` path (the cls trainer has no mid-stage resume;
+        stages are short enough that re-running one is cheap)."""
         os.makedirs(save_dir, exist_ok=True)
         csv_log = CSVLogger(
             Path(save_dir) / "training_log.csv",
@@ -539,7 +547,10 @@ class HerlevTrainer:
         from ugpg_tpu.utils.tb import TBWriter
 
         tb = TBWriter(self.config.get("tb_logdir"))
+        self.preempted = False
         for stage in self.config["stages"]:
+            if self.preempted:
+                break
             cfg = self.stage_configs[stage]
             self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
             self.current_stage = stage
@@ -635,6 +646,31 @@ class HerlevTrainer:
                     self._print(
                         f"Early stopping after {epochs_without_improvement} "
                         "epochs without improvement"
+                    )
+                    break
+
+                if preemption is not None and preemption.should_stop():
+                    self.preempted = True
+                    save_checkpoint(
+                        Path(save_dir) / f"herlev_stage{stage}_last",
+                        self._state.variables,
+                        opt_state=self._state.opt_state,
+                        backend=self.checkpoint_backend,
+                        metadata={
+                            "stage": stage,
+                            "epoch": epoch + 1,
+                            "val_acc": va_acc,
+                            "val_loss": va_loss,
+                            "config": {
+                                k: v for k, v in self.config.items()
+                                if isinstance(v, (int, float, str, bool, list, dict, type(None)))
+                            },
+                        },
+                    )
+                    self._print(
+                        f"Preemption requested (signal "
+                        f"{getattr(preemption, 'signum', None)}): "
+                        f"herlev_stage{stage}_last saved at epoch {epoch + 1}"
                     )
                     break
 

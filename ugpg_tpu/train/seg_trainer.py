@@ -504,6 +504,7 @@ class UncertaintyGuidedProgressiveTrainer:
         stages: Iterable[int] | None = None,
         checkpoint_every: int | None = None,
         resume: bool = False,
+        preemption=None,
     ):
         """Full progressive loop: stages 1..max_stages (ref: :316-398).
 
@@ -512,7 +513,13 @@ class UncertaintyGuidedProgressiveTrainer:
         + epoch) every N epochs; ``resume=True`` restores the latest one
         from ``save_dir`` and continues mid-stage — real elastic recovery,
         which the reference parses a flag for but never implements
-        (ref: train_aug_monuseg.py:172)."""
+        (ref: train_aug_monuseg.py:172).
+
+        ``preemption`` (a ``utils.preemption.PreemptionGuard``) makes the
+        loop preemption-safe: polled at each epoch boundary; when armed
+        (SIGTERM on Cloud TPU maintenance, scheduler evictions), the loop
+        writes the rolling ``_last`` checkpoint, flushes async saves, and
+        returns early — ``resume=True`` continues exactly there."""
         save_path = Path(save_dir)
         save_path.mkdir(parents=True, exist_ok=True)
 
@@ -536,7 +543,10 @@ class UncertaintyGuidedProgressiveTrainer:
         self._print("Starting Uncertainty-Guided Progressive Growing U-Net Training")
 
         stage_list = list(stages) if stages is not None else list(range(1, max_stages + 1))
+        self.preempted = False
         for stage in stage_list:
+            if self.preempted:
+                break
             # per-stage loader dicts (AugMoNuSeg path builds one loader per
             # stage resolution, ref: train_aug_monuseg.py:196-212)
             tl = train_loader[stage] if isinstance(train_loader, dict) else train_loader
@@ -646,7 +656,9 @@ class UncertaintyGuidedProgressiveTrainer:
                         },
                         backend=self.checkpoint_backend,
                     )
-                if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                rolled = checkpoint_every and (epoch + 1) % checkpoint_every == 0
+                stopping = preemption is not None and preemption.should_stop()
+                if rolled or stopping:
                     save_checkpoint(
                         save_path / f"ug_pgunet_stage{stage}_last",
                         self._state.variables,
@@ -660,11 +672,24 @@ class UncertaintyGuidedProgressiveTrainer:
                         },
                         backend=self.checkpoint_backend,
                     )
+                if stopping:
+                    self.preempted = True
+                    self._print(
+                        f"Preemption requested (signal "
+                        f"{getattr(preemption, 'signum', None)}): rolling "
+                        f"checkpoint saved at stage {stage}, epoch "
+                        f"{epoch + 1}; restart with resume=True to continue"
+                    )
+                    break
         from ugpg_tpu.io.checkpoint import wait_for_async_saves
 
         wait_for_async_saves()  # durable checkpoints before returning
         tb.close()
-        self._print("Uncertainty-guided progressive training completed!")
+        self._print(
+            "Uncertainty-guided progressive training "
+            + ("preempted — resumable from the _last checkpoint"
+               if self.preempted else "completed!")
+        )
         self.save_training_plots(save_path)
         return self.history
 
