@@ -98,6 +98,37 @@ def test_classification_predictor(cls_ckpt, rng):
     assert np.array_equal(labels, probs.argmax(-1))
 
 
+def test_mc_dropout_predictor(cls_ckpt, rng):
+    """mc_dropout=N: third output = per-sample predictive variance; labels
+    come from the MC-mean probs; identical requests -> identical responses
+    (keys derive from mc_seed only)."""
+    p = Predictor(str(cls_ckpt), task_type="classification",
+                  num_classes=5, dtype=None, buckets=(4,), mc_dropout=6)
+    assert p._n_outputs == 3
+    x = rng.random((4, 32, 32, 3)).astype(np.float32)
+    labels, probs, var = p(x)
+    assert labels.shape == (4,) and probs.shape == (4, 5) and var.shape == (4,)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert np.array_equal(labels, probs.argmax(-1))
+    assert float(var.max()) > 0.0  # dropout (.5/.3/.2 head) is active
+    # reproducible serving: same request, same response
+    labels2, probs2, var2 = p(x)
+    np.testing.assert_array_equal(probs, probs2)
+    np.testing.assert_array_equal(var, var2)
+    # MC mean differs from the deterministic single pass (dropout really on)
+    det = Predictor(str(cls_ckpt), task_type="classification",
+                    num_classes=5, dtype=None, buckets=(4,))
+    assert not np.allclose(det(x)[1], probs)
+
+
+def test_mc_dropout_validation(ckpt, cls_ckpt):
+    with pytest.raises(ValueError, match="classification"):
+        Predictor(str(ckpt), dtype=None, mc_dropout=4)
+    with pytest.raises(ValueError, match=">= 2"):
+        Predictor(str(cls_ckpt), task_type="classification", num_classes=5,
+                  dtype=None, mc_dropout=1)
+
+
 def test_predictor_rejects_bad_task_type(ckpt):
     with pytest.raises(ValueError, match="task_type"):
         Predictor(str(ckpt), task_type="detection")

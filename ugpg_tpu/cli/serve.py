@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--artifact", action="append", default=[],
                    metavar="NAME=DIR",
                    help="exported StableHLO artifact directory (repeatable)")
+    p.add_argument("--mc_dropout", type=int, default=0, metavar="N",
+                   help="classification models: N MC-dropout passes per "
+                        "request; adds a per-sample mc_variance output "
+                        "(epistemic uncertainty)")
     p.add_argument("--classes", type=int, default=7,
                    help="num_classes for --cls_model entries")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 64])
@@ -91,7 +95,8 @@ def main(argv=None):
                           num_classes=args.classes,
                           buckets=tuple(args.buckets),
                           input_dtype=input_dtype, dtype=None,
-                          mesh=mesh, shard_model=shard_model)
+                          mesh=mesh, shard_model=shard_model,
+                          mc_dropout=args.mc_dropout)
     for spec in args.artifact:
         name, path = _split_spec(spec)
         registry.register_artifact(name, path)

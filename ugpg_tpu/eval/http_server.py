@@ -52,6 +52,7 @@ __all__ = ["ServingHTTPServer", "output_names"]
 
 _SEG_OUTPUTS = ("preds", "probs", "uncertainty")
 _CLS_OUTPUTS = ("labels", "probs")
+_CLS_MC_OUTPUTS = ("labels", "probs", "mc_variance")
 
 #: refuse request bodies larger than this (a 256 x 256px x f32 batch is
 #: ~100 MB; anything past that is a misdirected upload, not a request)
@@ -59,8 +60,11 @@ MAX_BODY_BYTES = 512 * 1024 * 1024
 
 
 def output_names(predictor) -> tuple[str, ...]:
-    """Named outputs for a predictor, by task type."""
+    """Named outputs for a predictor, by task type (+ MC-dropout variance
+    when the predictor emits a third classification output)."""
     if predictor.task_type == "classification":
+        if getattr(predictor, "_n_outputs", 2) == 3:
+            return _CLS_MC_OUTPUTS
         return _CLS_OUTPUTS
     return _SEG_OUTPUTS
 

@@ -80,6 +80,8 @@ class Predictor(_BucketRouter):
         compact_output: bool = False,
         mesh=None,
         shard_model: bool = False,
+        mc_dropout: int = 0,
+        mc_seed: int = 0,
     ):
         """``input_dtype=jnp.uint8`` compiles the executables for raw uint8
         RGB requests (scaled to [0,1] on device): 4x less host->device
@@ -121,12 +123,40 @@ class Predictor(_BucketRouter):
         serving, for latency on small buckets where DP alone leaves chips
         idle.  bf16/f32 paths only (the int8 path keeps weights
         replicated: per-channel scales pin the channel layout).
+
+        ``mc_dropout=N`` (classification only): Monte-Carlo-dropout
+        epistemic uncertainty — N stochastic head passes (dropout active,
+        encoder BN in eval mode; the standard MC setup) vmapped inside the
+        same compiled program; the response gains a third output, the
+        per-sample predictive variance ``(B,)``
+        (``uncertainty.mc_dropout_uncertainty``).  Labels/probs come from
+        the MC MEAN.  Keys derive from ``mc_seed`` only, so identical
+        requests get identical responses (reproducible serving).  Not
+        combinable with ``quantize`` (the int8 graph has no dropout).
         """
         _BucketRouter.__init__(self)
         if task_type not in ("segmentation", "classification"):
             raise ValueError(f"unknown task_type: {task_type!r}")
         if compact_output and task_type != "segmentation":
             raise ValueError("compact_output=True supports segmentation only")
+        if mc_dropout:
+            if task_type != "classification":
+                raise ValueError(
+                    "mc_dropout requires task_type='classification': the "
+                    "PGUNet segmentation stages have no dropout layers "
+                    "(the seg uncertainty map is the 1-2|p-0.5| output "
+                    "already in the response)"
+                )
+            if quantize:
+                raise ValueError(
+                    "mc_dropout is not supported with quantize=True: the "
+                    "int8 classification graph has no dropout layers"
+                )
+            if mc_dropout < 2:
+                raise ValueError(
+                    f"mc_dropout={mc_dropout}: need >= 2 stochastic passes "
+                    "for a variance"
+                )
         pred_dtype = jnp.uint8 if compact_output else jnp.float32
         map_dtype = jnp.float16 if compact_output else jnp.float32
         self.task_type = task_type
@@ -238,6 +268,23 @@ class Predictor(_BucketRouter):
                     logits = quantized_cls_forward(qparams, scales, stage, images)
                     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                     return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+            elif mc_dropout:
+                from ugpg_tpu.uncertainty import mc_dropout_uncertainty
+
+                n_outputs = 3
+                mc_key = jax.random.key(mc_seed)
+
+                def forward(variables, images):
+                    mean, var = mc_dropout_uncertainty(
+                        lambda xx, rngs: self.module.apply(
+                            variables, xx, False, mc_dropout=True, rngs=rngs
+                        ),
+                        images, mc_key, num_samples=mc_dropout,
+                        task_type="classification",
+                    )
+                    labels = jnp.argmax(mean, axis=-1).astype(jnp.int32)
+                    return labels, mean, var
 
             else:
                 def forward(variables, images):

@@ -86,11 +86,17 @@ class HerlevClassificationModel(nn.Module):
     remat: bool = False  # jax.checkpoint each encoder DoubleConv
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 mc_dropout: bool = False) -> jax.Array:
+        """``mc_dropout=True`` activates the head's dropout layers while the
+        encoder's BatchNorm stays in eval mode (running stats) — the
+        standard Monte-Carlo-dropout inference setup consumed by
+        ``uncertainty.mc_dropout_uncertainty`` and
+        ``eval.serving.Predictor(mc_dropout=N)``."""
         feats = _Encoder(self.stage, self.axis_name, self.dtype, self.remat, name="unet")(x, train)
         # AdaptiveAvgPool2d(1) + Flatten -> global mean over H, W; head in f32.
         h = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
-        deterministic = not train
+        deterministic = not (train or mc_dropout)
         d1, d2, d3 = self.dropout_rates
         h = nn.Dropout(d1, deterministic=deterministic, name="drop1")(h)
         h = nn.relu(_dense(512, h.shape[-1], "fc1")(h))
