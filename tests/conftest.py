@@ -43,8 +43,16 @@ def _machine_tag() -> str:
     # jaxlib version is part of the key: XLA:CPU AOT results also embed
     # compiler-version-dependent pseudo-features (e.g. +prefer-no-scatter)
     # that /proc/cpuinfo cannot see — a cache written by a different jaxlib
-    # on an identical CPU still spams feature-mismatch load errors.
-    src += " jaxlib=" + getattr(jax, "__version__", "?")
+    # on an identical CPU still spams feature-mismatch load errors.  The
+    # COMPILER ships in jaxlib, which can upgrade independently of the
+    # pure-Python jax version, so key on the actual jaxlib.
+    try:
+        import jaxlib
+
+        src += " jaxlib=" + getattr(jaxlib, "__version__", "?")
+    except ImportError:  # pragma: no cover
+        pass
+    src += " jax=" + getattr(jax, "__version__", "?")
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 

@@ -200,3 +200,25 @@ def test_split_devices_and_validation():
         make_seg_train_step(
             m2, tx, 2, 32, external_uncertainty=True, accum_steps=2
         )
+
+
+def test_run_epoch_rejects_ragged_final_batch():
+    """drop_last=False loaders produce a short final batch — run_epoch must
+    reject it up front with the sizing message, not crash deep in
+    device_put after the epoch has been dispatched."""
+    m1, m2 = PGUNet1(num_classes=1), PGUNet2(num_classes=1)
+    v1 = m1.init(jax.random.key(0), jnp.zeros((1, PREV_RES, PREV_RES, 3)), False)
+    v2 = m2.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)), False)
+    pipe = UncertaintyPipeline(
+        m2, m1, torch_rmsprop(1e-4), stage=2, resolution=RES,
+        prev_resolution=PREV_RES, n_unc=4, donate=False,
+    )
+    state = pipe.create_state(v2)
+    prev = pipe.place_prev(v1)
+    rng = np.random.default_rng(0)
+    full = (rng.random((8, RES, RES, 3), dtype=np.float32),
+            rng.random((8, RES, RES, 1), dtype=np.float32))
+    ragged = (full[0][:6], full[1][:6])  # 6 % 4 != 0
+    keys = list(jax.random.split(jax.random.key(2), 2))
+    with pytest.raises(ValueError, match="batch 1 has size 6"):
+        pipe.run_epoch(state, prev, [full, ragged], POS_W, keys)

@@ -155,3 +155,92 @@ def test_cls_preempt_saves_last(tmp_path):
     meta = json.loads((last / "metadata.json").read_text())
     assert meta["stage"] == 1 and meta["epoch"] == 1
     assert (last / "variables.msgpack").exists()
+
+
+def test_cls_preempt_resume_completes(tmp_path):
+    """Requeue round trip: preempt mid-stage-1 -> --resume continues at the
+    right epoch with restored optimizer/scheduler/early-stop state, then
+    finishes stage 2 (the monuseg CLI contract, now on the cls side too)."""
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, 3, size=16)
+    imgs = rng.random((16, 32, 32, 3)).astype(np.float32)
+    train = ArrayLoader(imgs[:12], labels[:12].astype(np.int64), batch_size=4)
+    val = ArrayLoader(imgs[12:], labels[12:].astype(np.int64), batch_size=4)
+
+    cfg = create_config()
+    cfg.update(num_classes=3, epochs_per_stage=3, stages=[1, 2],
+               verbose=False, augment=False)
+
+    guard = PreemptionGuard().install()
+    try:
+        killer = _KillDuringEpoch(
+            train, on_epoch=2,
+            action=lambda: os.kill(os.getpid(), signal.SIGTERM),
+        )
+        t1 = HerlevTrainer(cfg)
+        hist = t1.train_progressive(
+            killer, val, str(tmp_path), preemption=guard
+        )
+    finally:
+        guard.uninstall()
+
+    assert t1.preempted
+    assert len(hist["train_loss"]) == 2  # stopped after stage-1 epoch 2
+    meta = json.loads(
+        (tmp_path / "herlev_stage1_last" / "metadata.json").read_text()
+    )
+    assert meta["stage"] == 1 and meta["epoch"] == 2
+    assert "epochs_without_improvement" in meta and "scheduler" in meta
+    assert not (tmp_path / "herlev_stage2_last").exists()
+
+    # requeue: resume finishes stage-1 epoch 3, then all 3 stage-2 epochs
+    t2 = HerlevTrainer(cfg)
+    hist2 = t2.train_progressive(
+        train, val, str(tmp_path), resume=True
+    )
+    assert not t2.preempted
+    assert len(hist2["train_loss"]) == 6  # 2 restored + 1 + 3
+    # both stages recorded their transitions exactly once
+    assert [t["stage"] for t in hist2["stage_transitions"]] == [1, 2]
+
+
+def test_cls_preemption_wins_over_early_stop(tmp_path):
+    """A pending SIGTERM is acknowledged even when early stopping fires the
+    same epoch: the resumable checkpoint is written and the stage loop stops
+    as preempted (not as a normal early stop that would enter stage 2)."""
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    rng = np.random.default_rng(2)
+    labels = rng.integers(0, 3, size=8)
+    imgs = rng.random((8, 32, 32, 3)).astype(np.float32)
+    train = ArrayLoader(imgs, labels.astype(np.int64), batch_size=4)
+
+    cfg = create_config()
+    cfg.update(num_classes=3, epochs_per_stage=2, stages=[1, 2],
+               early_stopping_patience=0, verbose=False, augment=False)
+    tr = HerlevTrainer(cfg)
+    guard = PreemptionGuard()
+    guard.trigger()
+    tr.train_progressive(train, train, str(tmp_path), preemption=guard)
+    assert tr.preempted
+    assert (tmp_path / "herlev_stage1_last" / "metadata.json").exists()
+    assert not (tmp_path / "herlev_stage2_last").exists()
+
+
+def test_cli_exit_code_translates_preemption(monkeypatch):
+    """The packaged console scripts go through cli(), which maps a preempted
+    trainer to exit 75 (EX_TEMPFAIL) — sys.exit(main()) on the trainer
+    object would exit 1 on success."""
+    from ugpg_tpu.cli import train_herlev, train_monuseg
+
+    class _T:
+        def __init__(self, preempted):
+            self.preempted = preempted
+
+    for mod in (train_monuseg, train_herlev):
+        monkeypatch.setattr(mod, "main", lambda argv=None: _T(True))
+        assert mod.cli([]) == 75
+        monkeypatch.setattr(mod, "main", lambda argv=None: _T(False))
+        assert mod.cli([]) == 0

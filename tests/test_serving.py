@@ -311,3 +311,16 @@ def test_predictor_compact_output_rejects_classification(cls_ckpt):
     with pytest.raises(ValueError):
         Predictor(str(cls_ckpt), task_type="classification", num_classes=5,
                   dtype=None, compact_output=True)
+
+
+def test_mc_dropout_bf16_model_emits_f32_statistics(cls_ckpt, rng):
+    """With the default bf16 compute dtype the MC mean/variance must still
+    be f32 over f32 probabilities — bf16 probs quantize at ~4e-3 near
+    p=0.5, the same order as small real epistemic variances."""
+    p = Predictor(str(cls_ckpt), task_type="classification", num_classes=5,
+                  buckets=(4,), mc_dropout=4)  # default dtype = bf16
+    x = rng.random((4, 32, 32, 3)).astype(np.float32)
+    labels, probs, var = p(x)
+    assert probs.dtype == np.float32 and var.dtype == np.float32
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert 0.0 <= float(var.min()) and float(var.max()) <= 0.25

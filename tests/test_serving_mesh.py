@@ -147,3 +147,42 @@ def test_mesh_predictor_export_roundtrip(ckpt, mesh, rng, tmp_path):
     x = rng.random((8, 32, 32, 3)).astype(np.float32)
     for a, b in zip(pm(x), pe(x)):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_mesh_predictor_stream_matches_call(ckpt, mesh, rng):
+    """stream() under a mesh prefetches straight to the per-chip shards (no
+    chip-0 staging hop) and yields exactly what __call__ returns, ragged
+    final batch included."""
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh)
+    xs = [rng.random((8, 32, 32, 3)).astype(np.float32) for _ in range(2)]
+    xs.append(rng.random((5, 32, 32, 3)).astype(np.float32))  # ragged
+    got = list(pm.stream(iter(xs)))
+    assert len(got) == 3
+    for x, outs in zip(xs, got):
+        for a, b in zip(outs, pm(x)):
+            assert a.shape[0] == x.shape[0]
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_serve_cli_resolve_buckets(mesh):
+    """Default buckets are per-chip and scale with the data axis (bucket 1
+    could never divide an 8-way mesh); explicit off-axis buckets get a
+    CLI-level error."""
+    from ugpg_tpu.cli.serve import resolve_buckets
+
+    assert resolve_buckets(None, None) == [1, 8, 64]
+    assert resolve_buckets(None, mesh) == [8, 64, 512]
+    assert resolve_buckets([8, 16], mesh) == [8, 16]
+    with pytest.raises(SystemExit, match="do not divide"):
+        resolve_buckets([1, 8], mesh)
+
+
+def test_parse_mesh_accepts_bare_data_axis():
+    """The shared CLI mesh grammar: 'N' == 'N,1'; junk is a CLI error."""
+    from ugpg_tpu.cli.train_monuseg import parse_mesh
+
+    m = parse_mesh("8")
+    assert dict(m.shape) == {"data": 8, "model": 1}
+    assert parse_mesh(None) is None
+    with pytest.raises(SystemExit, match="DATA"):
+        parse_mesh("1,2,3")

@@ -28,6 +28,27 @@ def _split_spec(spec: str) -> tuple[str, str]:
     return name, path
 
 
+def resolve_buckets(buckets, mesh) -> list[int]:
+    """Default buckets are per-chip (1, 8, 64): under a mesh they scale by
+    the data-axis size — bucket 1 could never divide it, so unscaled
+    defaults would fail Predictor validation at startup.  User-passed
+    buckets are validated here with a CLI-level message instead of the
+    constructor's deeper one."""
+    if buckets is None:
+        scale = mesh.shape["data"] if mesh is not None else 1
+        return [1 * scale, 8 * scale, 64 * scale]
+    if mesh is not None:
+        n = mesh.shape["data"]
+        bad = [b for b in buckets if b % n]
+        if bad:
+            raise SystemExit(
+                f"--buckets {bad} do not divide by the mesh data axis ({n}); "
+                f"every bucket is sharded across the data axis, so pass "
+                f"multiples of {n}"
+            )
+    return list(buckets)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="HTTP serving front end")
     p.add_argument("--model", action="append", default=[], metavar="NAME=CKPT",
@@ -44,7 +65,10 @@ def main(argv=None):
                         "(epistemic uncertainty)")
     p.add_argument("--classes", type=int, default=7,
                    help="num_classes for --cls_model entries")
-    p.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 64])
+    p.add_argument("--buckets", type=int, nargs="+", default=None,
+                   help="batch buckets to AOT-compile (default: 1 8 64; "
+                        "under --mesh the defaults scale by the data-axis "
+                        "size so every bucket keeps a whole per-chip batch)")
     p.add_argument("--uint8", action="store_true",
                    help="compile for raw uint8 RGB request tensors")
     p.add_argument("--mesh", type=str, default=None, metavar="N[,M]",
@@ -75,17 +99,15 @@ def main(argv=None):
     input_dtype = jnp.uint8 if args.uint8 else jnp.float32
     mesh, shard_model = None, False
     if args.mesh is not None:
-        from ugpg_tpu.parallel.mesh import make_mesh
+        # shared CLI mesh grammar + multi-host initialize()
+        from ugpg_tpu.cli.train_monuseg import parse_mesh
 
-        parts = [int(v) for v in args.mesh.split(",")]
-        if len(parts) not in (1, 2):
-            raise SystemExit(f"--mesh expects N or N,M, got {args.mesh!r}")
-        n_data, n_model = parts[0], parts[1] if len(parts) == 2 else 1
-        mesh = make_mesh(n_data=n_data, n_model=n_model)
-        shard_model = n_model > 1
+        mesh = parse_mesh(args.mesh)
+        shard_model = mesh.shape["model"] > 1
+    buckets = resolve_buckets(args.buckets, mesh)
     for spec in args.model:
         name, ckpt = _split_spec(spec)
-        registry.register(name, ckpt, buckets=tuple(args.buckets),
+        registry.register(name, ckpt, buckets=tuple(buckets),
                           input_dtype=input_dtype,
                           compact_output=args.compact, dtype=None,
                           mesh=mesh, shard_model=shard_model)
@@ -93,7 +115,7 @@ def main(argv=None):
         name, ckpt = _split_spec(spec)
         registry.register(name, ckpt, task_type="classification",
                           num_classes=args.classes,
-                          buckets=tuple(args.buckets),
+                          buckets=tuple(buckets),
                           input_dtype=input_dtype, dtype=None,
                           mesh=mesh, shard_model=shard_model,
                           mc_dropout=args.mc_dropout)

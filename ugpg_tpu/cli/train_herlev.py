@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pass (jax.checkpoint): recompute activations "
                         "instead of storing them — lower peak memory, "
                         "identical gradients")
+    p.add_argument("--resume", action="store_true",
+                   help="resume mid-stage from the herlev_stage{S}_last "
+                        "checkpoint a preempted run wrote in output_dir "
+                        "(optimizer/scheduler/early-stopping state included)")
     return p
 
 
@@ -127,7 +131,7 @@ def main(argv=None):
         with PreemptionGuard() as guard:
             trainer.train_progressive(
                 train_loaders, val_loaders, config["output_dir"],
-                preemption=guard,
+                preemption=guard, resume=args.resume,
             )
         cfg_path = os.path.join(config["output_dir"], "config.json")
         with open(cfg_path, "w") as f:
@@ -138,8 +142,13 @@ def main(argv=None):
     return trainer
 
 
+def cli(argv=None) -> int:
+    """Console-script entry: preemption -> exit 75 (see train_monuseg.cli)."""
+    trainer = main(argv)
+    return 75 if getattr(trainer, "preempted", False) else 0
+
+
 if __name__ == "__main__":
     import sys
 
-    _trainer = main()
-    sys.exit(75 if getattr(_trainer, "preempted", False) else 0)
+    sys.exit(cli())

@@ -101,7 +101,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def parse_mesh(spec: str | None):
-    """'DATA,MODEL' / 'auto' -> jax.sharding.Mesh (None -> single device)."""
+    """'DATA[,MODEL]' / 'auto' -> jax.sharding.Mesh (None -> single device).
+
+    Shared by every CLI that takes a --mesh flag (train, test, serve) so the
+    grammar stays uniform and multi-host runs always go through
+    ``parallel.distributed.initialize``."""
     if not spec:
         return None
     from ugpg_tpu.parallel.distributed import initialize
@@ -110,8 +114,12 @@ def parse_mesh(spec: str | None):
     initialize()  # no-op unless a coordinator is configured (multi-host)
     if spec == "auto":
         return make_mesh()
-    n_data, n_model = (int(x) for x in spec.split(","))
-    return make_mesh(n_data=n_data, n_model=n_model)
+    parts = [int(x) for x in spec.split(",")]
+    if len(parts) == 1:
+        parts.append(1)
+    if len(parts) != 2:
+        raise SystemExit(f"--mesh expects DATA[,MODEL] or 'auto', got {spec!r}")
+    return make_mesh(n_data=parts[0], n_model=parts[1])
 
 
 def main(argv=None):
@@ -246,9 +254,20 @@ def main(argv=None):
     return trainer
 
 
+def cli(argv=None) -> int:
+    """Console-script entry: translate preemption into exit 75 (EX_TEMPFAIL).
+
+    ``main`` returns the trainer (tests use it); the packaged
+    ``ugpg-train-monuseg`` script and ``python -m``/direct invocation must
+    all surface the scheduler-facing exit-code contract, so they route
+    through here instead of ``sys.exit(main())``-ing the trainer object.
+    """
+    trainer = main(argv)
+    # 75 = EX_TEMPFAIL: tell schedulers to requeue the (resumable) job
+    return 75 if getattr(trainer, "preempted", False) else 0
+
+
 if __name__ == "__main__":
     import sys
 
-    _trainer = main()
-    # 75 = EX_TEMPFAIL: tell schedulers to requeue the (resumable) job
-    sys.exit(75 if getattr(_trainer, "preempted", False) else 0)
+    sys.exit(cli())

@@ -462,8 +462,15 @@ class Predictor(_BucketRouter):
                     )
                 yield (b, n)
 
+        # under a mesh, prefetch straight to the per-chip shards — the
+        # default device_put would stage the WHOLE bucket in chip 0's HBM
+        # and every call would then reshard it device-to-device
+        put = None
+        if self._batch_sharding is not None:
+            put = lambda t: (jax.device_put(t[0], self._batch_sharding), t[1])
+
         for device_batch, n in prefetch_to_device(
-            as_device_batches(), size=prefetch
+            as_device_batches(), size=prefetch, put=put
         ):
             outs = self._compiled[top](self.variables, device_batch)
             yield tuple(np.asarray(o[: int(n)]) for o in outs)

@@ -282,16 +282,20 @@ class UncertaintyPipeline:
         """
         if len(keys) < len(batches):
             raise ValueError(f"need {len(batches)} keys, got {len(keys)}")
-        if batches:
-            b = batches[0][0].shape[0]
-            n_t = self.train_mesh.shape["data"]
-            n_u = self.unc_mesh.shape["data"]
+        n_t = self.train_mesh.shape["data"]
+        n_u = self.unc_mesh.shape["data"]
+        # validate EVERY batch up front (a drop_last=False loader's ragged
+        # final batch would otherwise crash deep in device_put after the
+        # whole epoch has been dispatched)
+        for i, batch in enumerate(batches):
+            b = batch[0].shape[0]
             if b % n_t or b % n_u:
                 raise ValueError(
-                    f"batch size {b} must divide both the train mesh's "
-                    f"data axis ({n_t}) and the unc group ({n_u}); pick "
-                    f"n_unc so that (n_devices - n_unc) and n_unc both "
-                    f"divide the batch"
+                    f"batch {i} has size {b}, which must divide both the "
+                    f"train mesh's data axis ({n_t}) and the unc group "
+                    f"({n_u}); pick n_unc so that (n_devices - n_unc) and "
+                    f"n_unc both divide every batch, and drop or pad the "
+                    f"ragged final batch (loader drop_last=True)"
                 )
         loss_w = jax.device_put(jnp.asarray(loss_weights), self._repl_t)
         metrics: list[dict[str, Any]] = []

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ugpg_tpu.data.loader import prefetch_to_device
-from ugpg_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ugpg_tpu.io.checkpoint import has_checkpoint, load_checkpoint, save_checkpoint
 from ugpg_tpu.models.classifier import CLS_STAGE_RESOLUTIONS, HerlevClassificationModel
 from ugpg_tpu.parallel.distributed import global_batch
 from ugpg_tpu.parallel.mesh import shard_batch, shard_variables
@@ -529,16 +529,28 @@ class HerlevTrainer:
 
     # ------------------------------------------------------------------
     def train_progressive(self, train_loaders, val_loaders, save_dir: str,
-                          preemption=None):
+                          preemption=None, resume: bool = False):
         """Stage loop with early stopping + best-acc checkpoints (ref: :404-503).
 
         ``preemption`` (``utils.preemption.PreemptionGuard``): polled at each
         epoch boundary; when armed, saves a ``herlev_stage{S}_last``
-        checkpoint (variables + optimizer state + epoch + config) and
-        returns early — restart seeds from it via ``load_checkpoint`` /
-        the ``pretrained`` path (the cls trainer has no mid-stage resume;
-        stages are short enough that re-running one is cheap)."""
+        checkpoint (variables + optimizer state + epoch + scheduler/early-
+        stop state + history + config) and returns early.
+
+        ``resume=True`` restores the latest ``_last`` checkpoint from
+        ``save_dir`` and continues mid-stage exactly where the preempted run
+        stopped (same optimizer/scheduler/early-stopping state; earlier
+        stages' weights reloaded so the frozen uncertainty source is the
+        trained one, not a fresh init)."""
         os.makedirs(save_dir, exist_ok=True)
+        resume_stage = resume_meta = None
+        if resume:
+            resume_stage, resume_meta = self._find_resume_point(Path(save_dir))
+            if resume_stage is not None:
+                self._print(
+                    f"Resuming from stage {resume_stage}, "
+                    f"epoch {resume_meta.get('epoch', 0) + 1}"
+                )
         csv_log = CSVLogger(
             Path(save_dir) / "training_log.csv",
             ["stage", "epoch", "train_loss", "val_loss", "train_acc",
@@ -552,23 +564,65 @@ class HerlevTrainer:
             if self.preempted:
                 break
             cfg = self.stage_configs[stage]
-            self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
-            self.current_stage = stage
-            # transfer BEFORE the optimizer build (seg_trainer order): the
-            # single TrainState.create then sees the transferred variables —
-            # the old order built and immediately discarded a full opt state
-            if stage > 1:
-                self.transfer_weights(stage - 1, stage)
-            self.setup_optimizer_scheduler(stage)
-
-            tl = train_loaders[stage] if isinstance(train_loaders, dict) else train_loaders
-            vl = val_loaders[stage] if isinstance(val_loaders, dict) else val_loaders
-
+            start_epoch = 0
             best_val_acc = 0.0
             best_val_loss = float("inf")
             epochs_without_improvement = 0
             saved_any = False
-            for epoch in range(cfg["epochs"]):
+            if resume_stage is not None:
+                if stage < resume_stage:
+                    self._print(f"Resume: skipping completed stage {stage}")
+                    continue
+                if stage == resume_stage:
+                    self._print(
+                        f"\nResuming Stage {stage} - Resolution: {cfg['resolution']}"
+                    )
+                    self.current_stage = stage
+                    self.setup_optimizer_scheduler(stage)
+                    self._restore_last(Path(save_dir), stage, resume_meta)
+                    # metadata "epoch" is the 1-based count of completed
+                    # epochs == the 0-based index of the next one
+                    start_epoch = int(resume_meta.get("epoch", 0))
+                    best_val_acc = float(resume_meta.get("best_val_acc", 0.0))
+                    best_val_loss = float(
+                        resume_meta.get("best_val_loss", float("inf"))
+                    )
+                    epochs_without_improvement = int(
+                        resume_meta.get("epochs_without_improvement", 0)
+                    )
+                    saved_any = bool(resume_meta.get("saved_any", True))
+                    resume_stage = None
+                    if start_epoch >= cfg["epochs"]:
+                        self.history["stage_transitions"].append(
+                            {"stage": stage, "best_val_acc": best_val_acc,
+                             "best_val_loss": best_val_loss}
+                        )
+                        continue
+                else:
+                    # the requested stage list skipped past the resume
+                    # stage: load its trained weights anyway — transfer and
+                    # the frozen uncertainty forward must not see a fresh
+                    # init in its place
+                    for suffix in ("last", "best"):
+                        ckpt = Path(save_dir) / f"herlev_stage{resume_stage}_{suffix}"
+                        if has_checkpoint(ckpt):
+                            self.load_stage_weights(resume_stage, ckpt)
+                            break
+                    resume_stage = None
+            if start_epoch == 0:
+                self._print(f"\nTraining Stage {stage} - Resolution: {cfg['resolution']}")
+                self.current_stage = stage
+                # transfer BEFORE the optimizer build (seg_trainer order): the
+                # single TrainState.create then sees the transferred variables —
+                # the old order built and immediately discarded a full opt state
+                if stage > 1:
+                    self.transfer_weights(stage - 1, stage)
+                self.setup_optimizer_scheduler(stage)
+
+            tl = train_loaders[stage] if isinstance(train_loaders, dict) else train_loaders
+            vl = val_loaders[stage] if isinstance(val_loaders, dict) else val_loaders
+
+            for epoch in range(start_epoch, cfg["epochs"]):
                 tr_loss, tr_base, tr_acc, tr_um, tr_us = self.train_epoch(tl, stage)
                 va_loss, va_base, va_acc, va_um, va_us = self.validate_epoch(vl, stage)
 
@@ -640,15 +694,10 @@ class HerlevTrainer:
                 else:
                     epochs_without_improvement += 1
 
-                if epochs_without_improvement >= self.config.get(
-                    "early_stopping_patience", 15
-                ):
-                    self._print(
-                        f"Early stopping after {epochs_without_improvement} "
-                        "epochs without improvement"
-                    )
-                    break
-
+                # preemption FIRST: even if early stopping also fires this
+                # epoch, a pending SIGTERM must still be acknowledged (save
+                # the resumable checkpoint + stop the stage loop) — the
+                # scheduler's grace period won't survive another stage
                 if preemption is not None and preemption.should_stop():
                     self.preempted = True
                     save_checkpoint(
@@ -661,6 +710,15 @@ class HerlevTrainer:
                             "epoch": epoch + 1,
                             "val_acc": va_acc,
                             "val_loss": va_loss,
+                            "best_val_acc": best_val_acc,
+                            "best_val_loss": best_val_loss,
+                            "epochs_without_improvement": epochs_without_improvement,
+                            "saved_any": saved_any,
+                            "scheduler": {
+                                "best": self._scheduler.best,
+                                "num_bad_epochs": self._scheduler.num_bad_epochs,
+                            },
+                            "history": self.history,
                             "config": {
                                 k: v for k, v in self.config.items()
                                 if isinstance(v, (int, float, str, bool, list, dict, type(None)))
@@ -670,7 +728,17 @@ class HerlevTrainer:
                     self._print(
                         f"Preemption requested (signal "
                         f"{getattr(preemption, 'signum', None)}): "
-                        f"herlev_stage{stage}_last saved at epoch {epoch + 1}"
+                        f"herlev_stage{stage}_last saved at epoch {epoch + 1}; "
+                        f"restart with resume=True (--resume) to continue"
+                    )
+                    break
+
+                if epochs_without_improvement >= self.config.get(
+                    "early_stopping_patience", 15
+                ):
+                    self._print(
+                        f"Early stopping after {epochs_without_improvement} "
+                        "epochs without improvement"
                     )
                     break
 
@@ -689,3 +757,70 @@ class HerlevTrainer:
             json.dump(self.history, f, indent=2)
         self._print(f"Training history saved to: {hist_path}")
         return self.history
+
+    # ------------------------------------------------------------------
+    def load_stage_weights(self, stage: int, checkpoint_path):
+        """Load one stage's variables from a checkpoint directory."""
+        template = self._ensure_variables(stage)
+        variables, _, _ = load_checkpoint(
+            checkpoint_path, variables_template=template
+        )
+        self.variables[stage] = self._shard(variables)
+        self._print(f"Loaded weights for stage {stage} from {checkpoint_path}")
+
+    def _find_resume_point(self, save_path: Path):
+        """Latest ``herlev_stage{S}_last`` checkpoint -> (stage, metadata);
+        reloads earlier stages' weights (the frozen uncertainty sources)."""
+        stages = sorted(self.config["stages"])
+        last_stage = meta = None
+        for stage in reversed(stages):
+            ckpt_dir = save_path / f"herlev_stage{stage}_last"
+            meta_file = ckpt_dir / "metadata.json"
+            # require the DATA too: an interrupted async save can leave
+            # metadata.json without a finalized array write — resume must
+            # fall back to the previous complete checkpoint, not crash
+            if meta_file.exists() and has_checkpoint(ckpt_dir):
+                last_stage = stage
+                meta = json.loads(meta_file.read_text())
+                break
+        if last_stage is None:
+            return None, None
+        for s in (s for s in stages if s < last_stage):
+            for suffix in ("best", "last"):
+                ckpt = save_path / f"herlev_stage{s}_{suffix}"
+                if has_checkpoint(ckpt):
+                    self.load_stage_weights(s, ckpt)
+                    break
+        return last_stage, meta
+
+    def _restore_last(self, save_path: Path, stage: int, meta: Mapping):
+        """Restore variables + optimizer + scheduler state for mid-stage
+        resume.  Under a mesh, restored host arrays are re-laid-out to the
+        sharded state's placement (same rule as the seg trainer)."""
+        ckpt = save_path / f"herlev_stage{stage}_last"
+        variables, opt_state, _ = load_checkpoint(
+            ckpt,
+            variables_template=self._ensure_variables(stage),
+            opt_state_template=self._state.opt_state,
+        )
+        variables = self._shard(variables)
+        if opt_state is not None and self.mesh is not None:
+            opt_state = jax.tree.map(
+                lambda tgt, val: jax.device_put(val, tgt.sharding)
+                if hasattr(tgt, "sharding") else val,
+                self._state.opt_state, opt_state,
+            )
+        self.variables[stage] = variables
+        self._state = self._state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=opt_state if opt_state is not None else self._state.opt_state,
+        )
+        sched = meta.get("scheduler") or {}
+        if self._scheduler is not None and sched:
+            self._scheduler.best = float(sched.get("best", float("inf")))
+            self._scheduler.num_bad_epochs = int(sched.get("num_bad_epochs", 0))
+        if isinstance(meta.get("history"), dict):
+            for k, v in meta["history"].items():
+                if k in self.history and isinstance(v, list):
+                    self.history[k] = v

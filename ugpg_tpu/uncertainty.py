@@ -70,7 +70,11 @@ def mc_dropout_uncertainty(
     keys = jax.random.split(key, num_samples)
 
     def one(k):
-        logits = apply_fn(x, rngs={"dropout": k})
+        # f32 before the nonlinearity regardless of the model's compute
+        # dtype: bf16 probabilities quantize at ~4e-3 near p=0.5, which
+        # would inject spurious variance of the same order as small real
+        # epistemic variances (the deterministic serving paths upcast too)
+        logits = apply_fn(x, rngs={"dropout": k}).astype(jnp.float32)
         if task_type == "classification":
             return jax.nn.softmax(logits, axis=-1)
         return jax.nn.sigmoid(logits)
