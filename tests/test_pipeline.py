@@ -222,3 +222,56 @@ def test_run_epoch_rejects_ragged_final_batch():
     keys = list(jax.random.split(jax.random.key(2), 2))
     with pytest.raises(ValueError, match="batch 1 has size 6"):
         pipe.run_epoch(state, prev, [full, ragged], POS_W, keys)
+
+
+def test_trainer_pipeline_unc_matches_plain_trainer(tmp_path):
+    """pipeline_unc=N on the progressive trainer: stage 1 runs the normal
+    per-step path (bit-identical), stage 2 pipelines the frozen stage-1
+    forward onto its own device group and tracks the fused-step trainer
+    within GSPMD rounding; checkpoints/metrics flow unchanged."""
+    from ugpg_tpu.data.synthetic import ArrayLoader
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    cfgs = {
+        1: {"resolution": 16, "epochs_per_stage": 2, "lr": 3e-4},
+        2: {"resolution": 32, "epochs_per_stage": 2, "lr": 1e-4},
+    }
+    images, masks = disk_dataset(num_samples=16, image_size=32, seed=5)
+    train = ArrayLoader(images[:8], masks[:8], batch_size=8)
+    val = ArrayLoader(images[8:], masks[8:], batch_size=8)
+
+    plain = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
+    h0 = plain.train_progressive(train, val, max_stages=2,
+                                 save_dir=tmp_path / "plain")
+    piped = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, pipeline_unc=4
+    )
+    h1 = piped.train_progressive(train, val, max_stages=2,
+                                 save_dir=tmp_path / "piped")
+
+    # stage 1: identical path, identical key stream
+    np.testing.assert_allclose(h1["train_loss"][:2], h0["train_loss"][:2],
+                               rtol=1e-6)
+    # stage 2: pipelined == fused within GSPMD reduction rounding
+    np.testing.assert_allclose(h1["train_loss"][2:], h0["train_loss"][2:],
+                               rtol=1e-3)
+    np.testing.assert_allclose(h1["val_dice"], h0["val_dice"], atol=1e-3)
+    assert (tmp_path / "piped" / "ug_pgunet_stage2_best").exists()
+
+
+def test_trainer_pipeline_unc_validation():
+    from ugpg_tpu.parallel.mesh import make_mesh
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        UncertaintyGuidedProgressiveTrainer(
+            verbose=False, pipeline_unc=2, mesh=make_mesh(n_data=2)
+        )
+    with pytest.raises(ValueError, match="per-step dispatch"):
+        UncertaintyGuidedProgressiveTrainer(
+            verbose=False, pipeline_unc=2, scan_epochs=True
+        )
+    with pytest.raises(ValueError, match="accum_steps"):
+        UncertaintyGuidedProgressiveTrainer(
+            verbose=False, pipeline_unc=2, accum_steps=2
+        )

@@ -97,6 +97,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "activation memory for ~1 extra forward of FLOPs. "
                         "Identical gradients; pairs well with "
                         "--native_finetune / large --batch_size")
+    p.add_argument("--pipeline_unc", type=int, default=0, metavar="N",
+                   help="pipeline parallelism: dedicate the last N devices "
+                        "to the frozen previous-stage uncertainty forward "
+                        "(its own program, dispatched one batch ahead); "
+                        "the rest train data-parallel. Stages > 1 only; "
+                        "exclusive with --mesh/--scan_epochs/--accum_steps")
     return p
 
 
@@ -154,6 +160,7 @@ def main(argv=None):
         tb_logdir=args.tb_logdir,
         accum_steps=args.accum_steps,
         remat=args.remat,
+        pipeline_unc=args.pipeline_unc,
     )
 
     if args.plain:

@@ -110,6 +110,7 @@ class UncertaintyGuidedProgressiveTrainer:
         tb_logdir=None,
         accum_steps: int = 1,
         remat: bool = False,
+        pipeline_unc: int = 0,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -147,7 +148,18 @@ class UncertaintyGuidedProgressiveTrainer:
         instead of stored, cutting peak activation memory at the cost of
         one extra forward's FLOPs.  Gradients/BN updates are identical.
         Use with the spatial grid / native-resolution fine-tune where
-        activations, not parameters, bound the batch size."""
+        activations, not parameters, bound the batch size.
+
+        ``pipeline_unc=N``: pipeline parallelism over the method's built-in
+        inference stage — dedicate the LAST N visible devices to the frozen
+        previous-stage uncertainty forward (its own compiled program) while
+        the remaining devices run the train step data-parallel; the host
+        dispatches the uncertainty program one batch ahead so the two
+        overlap (``parallel.pipeline.UncertaintyPipeline``).  Stage-1
+        epochs (no previous model) run the normal path.  Mutually exclusive
+        with ``mesh=`` (the pipeline builds its own train mesh),
+        ``scan_epochs`` (host-side pipelining needs per-step dispatch), and
+        ``accum_steps>1`` (the producer emits one map per batch)."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -170,6 +182,26 @@ class UncertaintyGuidedProgressiveTrainer:
             raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
         self.accum_steps = accum_steps
         self.remat = remat
+        self.pipeline_unc = int(pipeline_unc)
+        if self.pipeline_unc:
+            if mesh is not None:
+                raise ValueError(
+                    "pipeline_unc and mesh are mutually exclusive: the "
+                    "pipeline builds its own (train, uncertainty) device "
+                    "split from the visible devices"
+                )
+            if scan_epochs:
+                raise ValueError(
+                    "pipeline_unc requires per-step dispatch; scan_epochs "
+                    "fuses the epoch into one program with the uncertainty "
+                    "forward already inside it"
+                )
+            if accum_steps != 1:
+                raise ValueError(
+                    "pipeline_unc is incompatible with accum_steps>1: the "
+                    "uncertainty producer emits one map per loader batch"
+                )
+        self._pipelines: dict[int, tuple] = {}
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -248,6 +280,13 @@ class UncertaintyGuidedProgressiveTrainer:
         """Name-keyed overlap merge from the previous stage (ref: :125-141)."""
         self._print(f"Transferring weights from stage {prev_stage} to stage {new_stage}")
         prev_vars = self._ensure_variables(prev_stage)
+        if self.pipeline_unc:
+            # after a pipelined stage the trained variables live replicated
+            # on the pipeline's train mesh while the new stage inits on the
+            # default device — one jitted program cannot mix the two device
+            # sets, so normalize through the host (small trees, stage entry
+            # only)
+            prev_vars = jax.device_get(prev_vars)
         new_vars = self._ensure_variables(new_stage)
         merged, copied = transfer_weights(prev_vars, new_vars)
         self.variables[new_stage] = merged
@@ -328,7 +367,69 @@ class UncertaintyGuidedProgressiveTrainer:
         return self._eval_epochs[stage]
 
     def _prev_variables(self, stage: int):
-        return self._ensure_variables(stage - 1) if stage > 1 else {}
+        if stage <= 1:
+            return {}
+        if self.pipeline_unc and stage in self._pipelines:
+            # eval/train state lives on the pipeline's train mesh: the frozen
+            # prev tree must share that device set (third cache entry)
+            return self._pipelines[stage][2]
+        return self._ensure_variables(stage - 1)
+
+    def _get_pipeline(self, stage: int):
+        """(UncertaintyPipeline, prev-vars-on-unc-group) for a stage > 1.
+
+        Built at the stage's first training epoch — after transfer_weights
+        and setup_optimizer — so the pipeline closes over the stage's
+        optimizer and the previous stage's FINAL weights."""
+        if stage not in self._pipelines:
+            from ugpg_tpu.parallel.pipeline import UncertaintyPipeline
+
+            if self._tx is None or self._state is None:
+                self.setup_optimizer(stage)
+            pipe = UncertaintyPipeline(
+                self.modules[stage],
+                self.modules[stage - 1],
+                self._tx,
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.stage_configs[stage - 1]["resolution"],
+                task_type="segmentation",
+                n_unc=self.pipeline_unc,
+                alpha=self.uncertainty_alpha,
+                augment=self.augment,
+                fused_loss=self.fused_loss,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            prev_host = jax.device_get(self._ensure_variables(stage - 1))
+            prev_unc = pipe.place_prev(prev_host)
+            # replica on the TRAIN mesh too: the eval step runs there and
+            # one program cannot mix the two device groups
+            prev_train = jax.device_put(
+                prev_host, NamedSharding(pipe.train_mesh, PartitionSpec())
+            )
+            self._pipelines[stage] = (pipe, prev_unc, prev_train)
+        return self._pipelines[stage]
+
+    def _train_epoch_pipelined(self, batches: list, stage: int):
+        """Pipelined epoch: uncertainty program on its own device group, one
+        batch ahead of the train step (same RNG subkey stream as the
+        per-step path, so the trajectory matches to GSPMD rounding)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pipe, prev, _ = self._get_pipeline(stage)
+        # (re-)place the state on the pipeline's train mesh: no-op when it
+        # already lives there (every epoch after the first)
+        repl = NamedSharding(pipe.train_mesh, PartitionSpec())
+        self._state = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self._state
+        )
+        self._aug_key, subs = split_epoch_keys(self._aug_key, len(batches))
+        self._state, metrics = pipe.run_epoch(
+            self._state, prev, batches, self.pos_weight, list(subs)
+        )
+        self.variables[stage] = self._state.variables
+        return self._average(metrics)
 
     def _as_batch(self, batch):
         images, masks = batch
@@ -431,6 +532,11 @@ class UncertaintyGuidedProgressiveTrainer:
     def train_epoch(self, dataloader: Iterable, stage: int):
         """One training epoch; returns the reference's 6-tuple of averages
         (loss, base_loss, dice, accuracy, unc_mean, unc_std) (ref: :186-256)."""
+        if self.pipeline_unc and stage > 1:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0,) * len(_METRIC_KEYS)
+            return self._train_epoch_pipelined(batches, stage)
         if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
