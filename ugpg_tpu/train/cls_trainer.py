@@ -59,6 +59,7 @@ from ugpg_tpu.train.steps import (
     split_epoch_keys,
     stack_epoch,
 )
+from ugpg_tpu.utils.anomaly import TrainingDivergedError, nonfinite_metrics
 from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["HerlevTrainer", "create_config"]
@@ -92,7 +93,8 @@ class HerlevTrainer:
 
     def __init__(self, config: Mapping[str, Any], dtype=None, axis_name=None,
                  seed=0, mesh=None, shard_model: bool = True,
-                 checkpoint_backend: str = "msgpack"):
+                 checkpoint_backend: str = "msgpack",
+                 nan_guard: bool = True):
         """``mesh``: optional ('data', 'model') ``jax.sharding.Mesh`` — stage
         variables are sharded at stage entry, batches over 'data', and
         multi-process runs feed per-host shards (see
@@ -101,6 +103,9 @@ class HerlevTrainer:
         self.mesh = mesh
         self.shard_model = shard_model
         self.checkpoint_backend = checkpoint_backend
+        # fail fast on NaN/Inf epoch losses with a diagnostic checkpoint
+        # (utils.anomaly); nan_guard=False trains through them
+        self.nan_guard = nan_guard
         k = self.config["num_classes"]
         epochs = self.config.get("epochs_per_stage", 30)
         self.stage_configs = {
@@ -663,6 +668,29 @@ class HerlevTrainer:
                     f"Train {tr_loss:.4f}/{tr_acc:.2f}% | "
                     f"Val {va_loss:.4f}/{va_acc:.2f}%"
                 )
+
+                if self.nan_guard:
+                    bad = nonfinite_metrics(train_loss=tr_loss, val_loss=va_loss)
+                    if bad:
+                        ckpt = Path(save_dir) / f"herlev_stage{stage}_diverged"
+                        save_checkpoint(
+                            ckpt,
+                            self._state.variables,
+                            opt_state=self._state.opt_state,
+                            backend=self.checkpoint_backend,
+                            metadata={
+                                "stage": stage,
+                                "epoch": epoch + 1,
+                                "diverged_metrics": {
+                                    k: repr(v) for k, v in bad.items()
+                                },
+                                "history": self.history,
+                            },
+                        )
+                        from ugpg_tpu.io.checkpoint import wait_for_async_saves
+
+                        wait_for_async_saves()
+                        raise TrainingDivergedError(stage, epoch + 1, bad, ckpt)
 
                 # strict > like the reference, but guarantee at least one
                 # checkpoint per stage (a 0.0% first epoch would otherwise

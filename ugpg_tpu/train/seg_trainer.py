@@ -46,6 +46,7 @@ from ugpg_tpu.train.steps import (
     split_epoch_keys,
     stack_epoch,
 )
+from ugpg_tpu.utils.anomaly import TrainingDivergedError, nonfinite_metrics
 from ugpg_tpu.utils.profiling import CSVLogger
 
 __all__ = ["UncertaintyGuidedProgressiveTrainer", "DEFAULT_STAGE_CONFIGS"]
@@ -111,6 +112,7 @@ class UncertaintyGuidedProgressiveTrainer:
         accum_steps: int = 1,
         remat: bool = False,
         pipeline_unc: int = 0,
+        nan_guard: bool = True,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -159,7 +161,13 @@ class UncertaintyGuidedProgressiveTrainer:
         epochs (no previous model) run the normal path.  Mutually exclusive
         with ``mesh=`` (the pipeline builds its own train mesh),
         ``scan_epochs`` (host-side pipelining needs per-step dispatch), and
-        ``accum_steps>1`` (the producer emits one map per batch)."""
+        ``accum_steps>1`` (the producer emits one map per batch).
+
+        ``nan_guard`` (default on): when an epoch's mean train/val loss is
+        NaN/Inf, save a ``*_diverged`` diagnostic checkpoint and raise
+        ``utils.anomaly.TrainingDivergedError`` instead of silently
+        training on garbage for the rest of the stage budget (the
+        reference has no finiteness check anywhere)."""
         self.in_channels = in_channels
         self.num_classes = num_classes
         self.uncertainty_alpha = uncertainty_alpha
@@ -202,6 +210,7 @@ class UncertaintyGuidedProgressiveTrainer:
                     "uncertainty producer emits one map per loader batch"
                 )
         self._pipelines: dict[int, tuple] = {}
+        self.nan_guard = nan_guard
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
@@ -745,6 +754,29 @@ class UncertaintyGuidedProgressiveTrainer:
                     f"Val   - Loss: {va_loss:.4f}, Base: {va_base:.4f}, "
                     f"Dice: {va_dice:.4f}, Acc: {va_acc:.4f}"
                 )
+
+                if self.nan_guard:
+                    bad = nonfinite_metrics(train_loss=tr_loss, val_loss=va_loss)
+                    if bad:
+                        ckpt = save_path / f"ug_pgunet_stage{stage}_diverged"
+                        save_checkpoint(
+                            ckpt,
+                            self._state.variables,
+                            opt_state=self._state.opt_state,
+                            metadata={
+                                "stage": stage,
+                                "epoch": epoch,
+                                "diverged_metrics": {
+                                    k: repr(v) for k, v in bad.items()
+                                },
+                                "history": self.history,
+                            },
+                            backend=self.checkpoint_backend,
+                        )
+                        from ugpg_tpu.io.checkpoint import wait_for_async_saves
+
+                        wait_for_async_saves()
+                        raise TrainingDivergedError(stage, epoch + 1, bad, ckpt)
 
                 if va_dice > best_val_dice:
                     best_val_dice = va_dice
