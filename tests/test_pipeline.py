@@ -275,3 +275,63 @@ def test_trainer_pipeline_unc_validation():
         UncertaintyGuidedProgressiveTrainer(
             verbose=False, pipeline_unc=2, accum_steps=2
         )
+
+
+def test_herlev_trainer_pipeline_unc_matches_plain_trainer(tmp_path):
+    """pipeline_unc=N on the Herlev trainer: stage 1 runs the normal per-step
+    path (identical key stream), stage 2 pipelines the frozen stage-1 forward
+    (per-sample entropy weights) onto its own device group and tracks the
+    fused-step trainer within GSPMD rounding; checkpoints flow unchanged."""
+    from ugpg_tpu.data.synthetic import ArrayLoader
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    rng = np.random.default_rng(3)
+    k = 3
+    labels = rng.integers(0, k, size=24).astype(np.int64)
+    images = (rng.random((24, 32, 32, 3)).astype(np.float32) * 0.3)
+    for i, lab in enumerate(labels):
+        images[i, :, :, lab % 3] += 0.6
+    train = ArrayLoader(images[:16], labels[:16], batch_size=8)
+    val = ArrayLoader(images[16:], labels[16:], batch_size=8)
+
+    def cfg():
+        c = create_config()
+        c.update(num_classes=k, epochs_per_stage=2, stages=[1, 2],
+                 verbose=False, augment=False)
+        return c
+
+    plain = HerlevTrainer(cfg())
+    h0 = plain.train_progressive(train, val, str(tmp_path / "plain"))
+
+    c1 = cfg()
+    c1["pipeline_unc"] = 4
+    piped = HerlevTrainer(c1)
+    h1 = piped.train_progressive(train, val, str(tmp_path / "piped"))
+
+    # stage 1: identical path, identical key stream
+    np.testing.assert_allclose(h1["train_loss"][:2], h0["train_loss"][:2],
+                               rtol=1e-6)
+    # stage 2: pipelined == fused within GSPMD reduction rounding
+    np.testing.assert_allclose(h1["train_loss"][2:], h0["train_loss"][2:],
+                               rtol=1e-3)
+    np.testing.assert_allclose(h1["val_acc"], h0["val_acc"], atol=1e-6)
+    # uncertainty weights flowed (1 + alpha*A in [1, 1+alpha])
+    assert 1.0 <= h1["uncertainty_weights_mean"][-1] <= 2.0 + 1e-6
+    assert (tmp_path / "piped" / "herlev_stage2_best").exists()
+
+
+def test_herlev_trainer_pipeline_unc_validation():
+    from ugpg_tpu.parallel.mesh import make_mesh
+    from ugpg_tpu.train.cls_trainer import HerlevTrainer, create_config
+
+    def cfg(**kw):
+        c = create_config()
+        c.update(num_classes=3, verbose=False, **kw)
+        return c
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        HerlevTrainer(cfg(pipeline_unc=2), mesh=make_mesh(n_data=2))
+    with pytest.raises(ValueError, match="per-step dispatch"):
+        HerlevTrainer(cfg(pipeline_unc=2, scan_epochs=True))
+    with pytest.raises(ValueError, match="accum_steps"):
+        HerlevTrainer(cfg(pipeline_unc=2, accum_steps=2))

@@ -45,6 +45,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pass (jax.checkpoint): recompute activations "
                         "instead of storing them — lower peak memory, "
                         "identical gradients")
+    p.add_argument("--pipeline_unc", type=int, default=0, metavar="N",
+                   help="pipeline parallelism: dedicate the last N devices "
+                        "to the frozen previous-stage uncertainty forward "
+                        "(its own program, dispatched one batch ahead); "
+                        "the rest train data-parallel. Stages > 1 only; "
+                        "exclusive with --mesh/--scan_epochs/--accum_steps. "
+                        "Train loaders drop the ragged final batch (batch "
+                        "sizes must divide both device groups)")
     p.add_argument("--resume", action="store_true",
                    help="resume mid-stage from the herlev_stage{S}_last "
                         "checkpoint a preempted run wrote in output_dir "
@@ -75,6 +83,7 @@ def main(argv=None):
         tb_logdir=args.tb_logdir,
         accum_steps=args.accum_steps,
         remat=args.remat,
+        pipeline_unc=args.pipeline_unc,
     )
     if args.data_dir:
         config["data_dir"] = args.data_dir
@@ -106,6 +115,9 @@ def main(argv=None):
         train_loaders[stage] = DataLoader(
             tr_ds, batch_size=config["batch_size"], shuffle=True,
             num_workers=config["num_workers"], seed=42 + stage,
+            # the pipelined epoch needs every batch to divide both device
+            # groups; drop the ragged tail instead of erroring mid-epoch
+            drop_last=bool(args.pipeline_unc),
         )
         val_loaders[stage] = DataLoader(
             va_ds, batch_size=config["batch_size"],

@@ -297,7 +297,13 @@ class UncertaintyPipeline:
                     f"n_unc both divide every batch, and drop or pad the "
                     f"ragged final batch (loader drop_last=True)"
                 )
-        loss_w = jax.device_put(jnp.asarray(loss_weights), self._repl_t)
+        # None = unweighted CE (the cls trainer's default when the dataset
+        # supplies no class weights); the step treats None as a leafless tree
+        loss_w = (
+            None
+            if loss_weights is None
+            else jax.device_put(jnp.asarray(loss_weights), self._repl_t)
+        )
         metrics: list[dict[str, Any]] = []
         inflight: deque = deque()
 

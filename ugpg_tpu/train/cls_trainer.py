@@ -164,6 +164,31 @@ class HerlevTrainer:
             raise ValueError(
                 f"accum_steps must be >= 1, got {self.accum_steps}"
             )
+        # pipeline parallelism over the frozen prev-stage uncertainty
+        # forward: the LAST N visible devices run it as their own program
+        # while the rest train data-parallel (parallel.pipeline; same
+        # semantics/constraints as the segmentation trainer's pipeline_unc)
+        self.pipeline_unc = int(self.config.get("pipeline_unc", 0))
+        if self.pipeline_unc:
+            if mesh is not None:
+                raise ValueError(
+                    "pipeline_unc and mesh are mutually exclusive: the "
+                    "pipeline builds its own (train, uncertainty) device "
+                    "split from the visible devices"
+                )
+            if self.scan_epochs:
+                raise ValueError(
+                    "pipeline_unc requires per-step dispatch; scan_epochs "
+                    "fuses the epoch into one program with the uncertainty "
+                    "forward already inside it"
+                )
+            if self.accum_steps != 1:
+                raise ValueError(
+                    "pipeline_unc is incompatible with accum_steps>1: the "
+                    "uncertainty producer emits one weight vector per "
+                    "loader batch"
+                )
+        self._pipelines: dict[int, tuple] = {}
 
         self.history = {
             "train_loss": [], "val_loss": [],
@@ -253,12 +278,21 @@ class HerlevTrainer:
         # step functions close over tx; rebuild for this stage
         self._train_steps.pop(stage, None)
         self._train_epochs.pop(stage, None)
+        self._pipelines.pop(stage, None)
         return tx
 
     def transfer_weights(self, prev_stage: int, current_stage: int):
         """Classifier-head-only transfer on exact shape match (ref: :196-214)."""
         self._print(f"Transferring weights from stage {prev_stage} to {current_stage}")
-        prev = flatten_tree(self._ensure_variables(prev_stage))
+        prev_vars = self._ensure_variables(prev_stage)
+        if self.pipeline_unc:
+            # after a pipelined stage the trained variables live replicated
+            # on the pipeline's train mesh while the new stage inits on the
+            # default device — one jitted program cannot mix the two device
+            # sets, so normalize through the host (small trees, stage entry
+            # only)
+            prev_vars = jax.device_get(prev_vars)
+        prev = flatten_tree(prev_vars)
         cur = dict(flatten_tree(self._ensure_variables(current_stage)))
         copied = 0
         for path, pv in prev.items():
@@ -353,7 +387,74 @@ class HerlevTrainer:
         return self._eval_epochs[stage]
 
     def _prev_variables(self, stage: int):
-        return self._ensure_variables(stage - 1) if stage > 1 else {}
+        if stage <= 1:
+            return {}
+        if self.pipeline_unc and stage in self._pipelines:
+            # eval/train state lives on the pipeline's train mesh: the
+            # frozen prev tree must share that device set (third cache
+            # entry, same rule as the segmentation trainer)
+            return self._pipelines[stage][2]
+        return self._ensure_variables(stage - 1)
+
+    def _get_pipeline(self, stage: int):
+        """(UncertaintyPipeline, prev-on-unc-group, prev-on-train-mesh) for a
+        stage > 1.  Built at the stage's first training epoch — after
+        transfer_weights and setup_optimizer_scheduler — so the pipeline
+        closes over the stage's optimizer and the previous stage's FINAL
+        weights."""
+        if stage not in self._pipelines:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ugpg_tpu.parallel.pipeline import UncertaintyPipeline
+
+            if self._tx is None or self._state is None:
+                self.setup_optimizer_scheduler(stage)
+            pipe = UncertaintyPipeline(
+                self.modules[stage],
+                self.modules[stage - 1],
+                self._tx,
+                stage,
+                self.stage_configs[stage]["resolution"],
+                self.stage_configs[stage - 1]["resolution"],
+                task_type="classification",
+                num_classes=self.config["num_classes"],
+                n_unc=self.pipeline_unc,
+                alpha=self.uncertainty_alpha,
+                augment=bool(self.config.get("augment", True)),
+                normalize=True,
+            )
+            prev_host = jax.device_get(self._ensure_variables(stage - 1))
+            prev_unc = pipe.place_prev(prev_host)
+            # replica on the TRAIN mesh too: the eval step runs there and
+            # one program cannot mix the two device groups
+            prev_train = jax.device_put(
+                prev_host, NamedSharding(pipe.train_mesh, PartitionSpec())
+            )
+            self._pipelines[stage] = (pipe, prev_unc, prev_train)
+        return self._pipelines[stage]
+
+    def _train_epoch_pipelined(self, batches: list, stage: int):
+        """Pipelined epoch: the frozen prev-stage forward runs on its own
+        device group one batch ahead of the train step (same RNG subkey
+        stream as the per-step path, so trajectories match to GSPMD
+        rounding)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pipe, prev, _ = self._get_pipeline(stage)
+        # (re-)place the state on the pipeline's train mesh: no-op when it
+        # already lives there (every epoch after the first)
+        repl = NamedSharding(pipe.train_mesh, PartitionSpec())
+        self._state = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self._state
+        )
+        self._drop_key, subs = split_epoch_keys(self._drop_key, len(batches))
+        self._state, metrics = pipe.run_epoch(
+            self._state, prev, batches, self.class_weights, list(subs)
+        )
+        self.variables[stage] = self._state.variables
+        for m in metrics:
+            m.pop("logits", None)
+        return self._reduce_epoch(metrics)
 
     @staticmethod
     def _reduce_epoch(metrics_list):
@@ -478,6 +579,11 @@ class HerlevTrainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, dataloader: Iterable, stage: int):
+        if self.pipeline_unc and stage > 1:
+            batches = list(dataloader)
+            if not batches:
+                return (0.0, 0.0, 0.0, 0.0, 0.0)
+            return self._train_epoch_pipelined(batches, stage)
         if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)
             if not batches:
