@@ -186,3 +186,35 @@ def test_parse_mesh_accepts_bare_data_axis():
     assert parse_mesh(None) is None
     with pytest.raises(SystemExit, match="DATA"):
         parse_mesh("1,2,3")
+
+
+def test_mesh_quantized_predictor_matches_single_device(ckpt, mesh, rng):
+    """int8 W8A8 under the DP mesh: qparams replicate (per-channel scales
+    intact), batch shards over 'data' — exact match vs one-chip int8."""
+    calib = [rng.random((4, 32, 32, 3)).astype(np.float32)]
+    pm = Predictor(str(ckpt), dtype=None, buckets=(8,), mesh=mesh,
+                   quantize=True, calibration_batches=calib)
+    ps = Predictor(str(ckpt), dtype=None, buckets=(8,),
+                   quantize=True, calibration_batches=calib)
+    x = rng.random((8, 32, 32, 3)).astype(np.float32)
+    for a, b in zip(pm(x), ps(x)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_mesh_quantized_cls_predictor_matches(tmp_path, mesh, rng):
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+
+    module = HerlevClassificationModel(stage=1, num_classes=7)
+    v = module.init(jax.random.key(2), jnp.zeros((1, 32, 32, 3)), False)
+    ckpt = save_checkpoint(tmp_path / "cls1q", v, metadata={"stage": 1})
+    calib = [rng.random((4, 32, 32, 3)).astype(np.float32)]
+    pm = Predictor(str(ckpt), task_type="classification", num_classes=7,
+                   dtype=None, buckets=(8,), mesh=mesh,
+                   quantize=True, calibration_batches=calib)
+    ps = Predictor(str(ckpt), task_type="classification", num_classes=7,
+                   dtype=None, buckets=(8,),
+                   quantize=True, calibration_batches=calib)
+    x = rng.random((8, 32, 32, 3)).astype(np.float32)
+    (lab_m, prob_m), (lab_s, prob_s) = pm(x), ps(x)
+    np.testing.assert_array_equal(lab_m, lab_s)
+    np.testing.assert_allclose(prob_m, prob_s, atol=1e-6)
