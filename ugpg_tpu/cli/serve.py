@@ -56,9 +56,22 @@ def main(argv=None):
     p.add_argument("--cls_model", action="append", default=[],
                    metavar="NAME=CKPT",
                    help="classification checkpoint to serve (repeatable)")
+    p.add_argument("--slide_model", action="append", default=[],
+                   metavar="NAME=CKPT",
+                   help="segmentation checkpoint served at NATIVE "
+                        "resolution: arbitrary-size requests run "
+                        "convolutionally on the full image (no lossy "
+                        "downsize to the stage res); under --mesh the "
+                        "image is spatially sharded with halo exchange "
+                        "(repeatable)")
+    p.add_argument("--pad_multiple", type=int, default=None,
+                   help="--slide_model: quantize padded sizes to multiples "
+                        "of N (bounds recompiles under mixed-size traffic)")
     p.add_argument("--artifact", action="append", default=[],
                    metavar="NAME=DIR",
-                   help="exported StableHLO artifact directory (repeatable)")
+                   help="exported StableHLO artifact directory — bucket "
+                        "(Predictor.export) or slide (SlidePredictor."
+                        "export), dispatched by manifest (repeatable)")
     p.add_argument("--mc_dropout", type=int, default=0, metavar="N",
                    help="classification models: N MC-dropout passes per "
                         "request; adds a per-sample mc_variance output "
@@ -87,8 +100,11 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    if not (args.model or args.cls_model or args.artifact):
-        raise SystemExit("nothing to serve: pass --model/--cls_model/--artifact")
+    if not (args.model or args.cls_model or args.slide_model or args.artifact):
+        raise SystemExit(
+            "nothing to serve: pass --model/--cls_model/--slide_model/"
+            "--artifact"
+        )
 
     import jax.numpy as jnp
 
@@ -119,6 +135,14 @@ def main(argv=None):
                           input_dtype=input_dtype, dtype=None,
                           mesh=mesh, shard_model=shard_model,
                           mc_dropout=args.mc_dropout)
+    for spec in args.slide_model:
+        name, ckpt = _split_spec(spec)
+        # H shards over 'data'; a model axis > 1 additionally shards W —
+        # the 2-D halo grid (parallel/spatial.py)
+        w_axis = "model" if (mesh is not None and mesh.shape["model"] > 1) else None
+        registry.register_slide(name, ckpt, mesh=mesh, w_axis=w_axis,
+                                pad_multiple=args.pad_multiple,
+                                compact_output=args.compact)
     for spec in args.artifact:
         name, path = _split_spec(spec)
         registry.register_artifact(name, path)

@@ -74,6 +74,16 @@ class _BucketRouter:
                                  "p99": pct(99)}
         return out
 
+    def _record(self, dt: float, n_images: int, n_device_calls: int) -> None:
+        """Fold one served request into the counters (shared by the bucket
+        ``__call__`` below and the native-resolution ``SlidePredictor``)."""
+        with self._stats_lock:
+            self._n_requests += 1
+            self._n_images += n_images
+            self._n_device_calls += n_device_calls
+            self._total_s += dt
+            self._latencies.append(dt)
+
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -132,13 +142,7 @@ class _BucketRouter:
             np.concatenate([np.asarray(o[i]) for o in outs])
             for i in range(self._n_outputs)
         )
-        dt = time.perf_counter() - t0
-        with self._stats_lock:
-            self._n_requests += 1
-            self._n_images += len(images)
-            self._n_device_calls += len(outs)
-            self._total_s += dt
-            self._latencies.append(dt)
+        self._record(time.perf_counter() - t0, len(images), len(outs))
         return result
 
 

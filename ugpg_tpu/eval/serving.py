@@ -121,8 +121,11 @@ class Predictor(_BucketRouter):
         additionally shards the wide conv kernels over ``'model'`` — the
         training TP layout (``parallel.mesh.param_shardings``) applied to
         serving, for latency on small buckets where DP alone leaves chips
-        idle.  bf16/f32 paths only (the int8 path keeps weights
-        replicated: per-channel scales pin the channel layout).
+        idle.  Composes with ``quantize=True``: the int8 ``wq`` kernels
+        shard on the same output-channel axis their per-channel scales
+        index, so the scale+bias+ReLU+requant epilogue stays pointwise on
+        the sharded channels (the scales themselves replicate — GSPMD
+        slices them per shard).
 
         ``mc_dropout=N`` (classification only): Monte-Carlo-dropout
         epistemic uncertainty — N stochastic head passes (dropout active,
@@ -186,12 +189,6 @@ class Predictor(_BucketRouter):
             self._var_sharding = NamedSharding(mesh, PartitionSpec())
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
             self._shard_model = bool(shard_model) and mesh.shape.get("model", 1) > 1
-            if self._shard_model and quantize:
-                raise ValueError(
-                    "shard_model=True is not supported with quantize=True: "
-                    "per-channel int8 scales pin the weight channel layout; "
-                    "use DP-only (int8 is already the faster throughput path)"
-                )
         else:
             n_data = 1
             self._var_sharding = self._batch_sharding = None
@@ -647,14 +644,44 @@ class ServingRegistry:
             self._predictors[name] = p
         return p
 
-    def register_artifact(self, name: str, path) -> ExportedPredictor:
-        """Register an exported StableHLO artifact (``Predictor.export``
-        output) under ``name`` — same traffic surface (predict/submit), no
-        model code or checkpoint needed."""
+    def register_artifact(self, name: str, path):
+        """Register an exported StableHLO artifact under ``name`` — same
+        traffic surface (predict/submit), no model code or checkpoint
+        needed.  Dispatches on the manifest: bucket artifacts
+        (``Predictor.export``) load as ``ExportedPredictor``, slide
+        artifacts (``SlidePredictor.export``) as
+        ``ExportedSlidePredictor``."""
+        import json
+        from pathlib import Path
+
         with self._lock:
             if name in self._predictors:
                 raise ValueError(f"model {name!r} already registered")
-        p = ExportedPredictor(path)
+        manifest = json.loads((Path(path) / "manifest.json").read_text())
+        if manifest.get("kind") == "slide":
+            from ugpg_tpu.eval.slide import ExportedSlidePredictor
+
+            p = ExportedSlidePredictor(path)
+        else:
+            p = ExportedPredictor(path)
+        with self._lock:
+            if name in self._predictors:  # lost a registration race
+                raise ValueError(f"model {name!r} already registered")
+            self._predictors[name] = p
+        return p
+
+    def register_slide(self, name: str, checkpoint: str, **slide_kwargs):
+        """Register a native-resolution ``SlidePredictor`` under ``name``:
+        arbitrary-size requests run convolutionally on the FULL image
+        (spatially sharded under ``mesh=``) instead of being downsized to
+        the stage resolution (eval/slide.py).  Same predict surface; the
+        micro-batcher is bypassed (different-size slides cannot coalesce)."""
+        from ugpg_tpu.eval.slide import SlidePredictor
+
+        with self._lock:
+            if name in self._predictors:
+                raise ValueError(f"model {name!r} already registered")
+        p = SlidePredictor(checkpoint, **slide_kwargs)
         with self._lock:
             if name in self._predictors:  # lost a registration race
                 raise ValueError(f"model {name!r} already registered")
@@ -682,6 +709,17 @@ class ServingRegistry:
 
         Robust against a concurrent ``close()``: a server torn down between
         lookup and submit is replaced and the request retried."""
+        predictor = self.get(name)
+        if not getattr(predictor, "micro_batch", True):
+            # slide predictors: different-size images cannot coalesce into
+            # one device call — serve directly, still future-shaped
+            fut: Future = Future()
+            try:
+                outs = predictor(np.asarray(image)[None])
+                fut.set_result(tuple(o[0] for o in outs))
+            except Exception as exc:
+                fut.set_exception(exc)
+            return fut
         for _ in range(2):
             with self._lock:
                 server = self._servers.get(name)
