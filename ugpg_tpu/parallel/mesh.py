@@ -79,11 +79,15 @@ def _leaf_spec(path: tuple, leaf, mesh: Mesh, shard_model: bool) -> P:
         return P()
     shape = getattr(leaf, "shape", ())
     names = [getattr(p, "key", str(p)) for p in path]
-    # conv kernels (kh, kw, in, out): shard wide output channels over 'model'
+    # conv kernels (kh, kw, in, out): shard wide output channels over
+    # 'model'.  'wq' is the int8-quantized kernel (ops/quant.py) — its
+    # per-output-channel scale vector shards implicitly with the channels
+    # it scales (the epilogue is pointwise on the sharded channel axis;
+    # GSPMD slices the tiny replicated scale per shard).
     if (
         len(shape) == 4
         and names
-        and names[-1] == "kernel"
+        and names[-1] in ("kernel", "wq")
         and shape[-1] >= _TP_MIN_CHANNELS
         and shape[-1] % mesh.shape["model"] == 0
     ):
