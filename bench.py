@@ -177,6 +177,19 @@ def bench_config2(jnp, jax, cpu_fallback=False):
         qforward, qparams, (256, 256, 3), (128,), jnp
     )
 
+    # accuracy co-measurement on the SAME weights/inputs the bench timed:
+    # the headline int8 number carries its own bf16-agreement evidence
+    # instead of pointing at a separate study (VERDICT r4 weak #5)
+    x_acc = jnp.asarray(
+        np.random.default_rng(2).random((32, 256, 256, 3), dtype=np.float32)
+    )
+    logits_bf16 = jnp.asarray(
+        module.apply(variables, x_acc, False), jnp.float32
+    )
+    logits_i8 = quantized_forward(qparams, scales, 4, x_acc).astype(jnp.float32)
+    rms = float(jnp.sqrt(jnp.mean(jnp.square(logits_i8 - logits_bf16))))
+    agree = float(jnp.mean(((logits_i8 > 0) == (logits_bf16 > 0)).astype(jnp.float32)))
+
     best_is_i8 = rate_i8 >= rate_bf16
     return {
         "metric": "stage4_256px_inference_with_uncertainty_img_per_s",
@@ -186,6 +199,8 @@ def bench_config2(jnp, jax, cpu_fallback=False):
         "path": "int8_w8a8" if best_is_i8 else "bf16",
         "bf16_img_per_s": round(rate_bf16, 2),
         "int8_img_per_s": round(rate_i8, 2),
+        "int8_logit_rms_vs_bf16": round(rms, 6),
+        "int8_pixel_agreement_vs_bf16": round(agree, 6),
     }
 
 
@@ -283,6 +298,23 @@ def bench_config3(jnp, jax, cpu_fallback=False):
         qforward, qparams, (224, 224, 3), (256,), jnp
     )
 
+    # accuracy co-measurement on the same weights (see bench_config2)
+    x_acc = jnp.asarray(
+        np.random.default_rng(2).random((64, 224, 224, 3), dtype=np.float32)
+    )
+    logits_bf16 = jnp.asarray(
+        module.apply(variables, x_acc, False), jnp.float32
+    )
+    logits_i8 = quantized_cls_forward(qparams, scales, 4, x_acc).astype(
+        jnp.float32
+    )
+    rms = float(jnp.sqrt(jnp.mean(jnp.square(logits_i8 - logits_bf16))))
+    agree = float(jnp.mean(
+        (jnp.argmax(logits_i8, -1) == jnp.argmax(logits_bf16, -1)).astype(
+            jnp.float32
+        )
+    ))
+
     best_is_i8 = rate_i8 >= rate_bf16
     return {
         "metric": "stage4_herlev_cls_inference_img_per_s",
@@ -292,6 +324,8 @@ def bench_config3(jnp, jax, cpu_fallback=False):
         "path": "int8_w8a8" if best_is_i8 else "bf16",
         "bf16_img_per_s": round(rate_bf16, 2),
         "int8_img_per_s": round(rate_i8, 2),
+        "int8_logit_rms_vs_bf16": round(rms, 6),
+        "int8_argmax_agreement_vs_bf16": round(agree, 6),
     }
 
 
