@@ -48,6 +48,18 @@ def _expand(logits: jax.Array) -> jax.Array:
     return logits[..., None] if logits.ndim == 3 else logits
 
 
+
+def _scaled(n: int, width: float) -> int:
+    """Scale a reference channel count by the width multiplier (min 8).
+
+    width != 1.0 is a framework extension (the reference's widths are
+    fixed, ref: UG_unet.py:178-304): narrow variants keep the exact stage
+    topology — name-keyed transfer, folding, quantization and the spatial
+    walker all work unchanged — for fast compile-bounded validation
+    (e.g. the driver dryrun's full-trainer phase) and small deployments.
+    """
+    return max(8, round(n * width))
+
 class PGUNet1(nn.Module):
     """Stage 1, 32px: inc(C,512) -> down4 -> up1 -> outc (ref: UG_unet.py:178-193)."""
 
@@ -56,14 +68,16 @@ class PGUNet1(nn.Module):
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
     remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
+    width: float = 1.0  # channel-width multiplier (1.0 = reference widths)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
+        c = lambda n: _scaled(n, self.width)
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(512, a, dt, ub, rm, name="inc")(x, train)          # 32x32x512
-        x2 = Down(512, a, dt, ub, rm, name="down4")(x1, train)         # 16x16x512
-        x3 = Up(256, a, dt, ub, rm, name="up1")(x2, x1, train)         # 32x32x256
+        x1 = InConv(c(512), a, dt, ub, rm, name="inc")(x, train)          # 32x32x512
+        x2 = Down(c(512), a, dt, ub, rm, name="down4")(x1, train)         # 16x16x512
+        x3 = Up(c(256), a, dt, ub, rm, name="up1")(x2, x1, train)         # 32x32x256
         sq = self.num_classes == 1
         return _expand(OutConv(self.num_classes, name="outc")(x3, squeezed=sq))
 
@@ -76,16 +90,18 @@ class PGUNet2(nn.Module):
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
     remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
+    width: float = 1.0  # channel-width multiplier (1.0 = reference widths)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
+        c = lambda n: _scaled(n, self.width)
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(256, a, dt, ub, rm, name="inc")(x, train)          # 64
-        x2 = Down(512, a, dt, ub, rm, name="down3")(x1, train)         # 32
-        x3 = Down(512, a, dt, ub, rm, name="down4")(x2, train)         # 16
-        x4 = Up(256, a, dt, ub, rm, name="up1")(x3, x2, train)         # 32
-        x5 = Up(128, a, dt, ub, rm, name="up2")(x4, x1, train)         # 64
+        x1 = InConv(c(256), a, dt, ub, rm, name="inc")(x, train)          # 64
+        x2 = Down(c(512), a, dt, ub, rm, name="down3")(x1, train)         # 32
+        x3 = Down(c(512), a, dt, ub, rm, name="down4")(x2, train)         # 16
+        x4 = Up(c(256), a, dt, ub, rm, name="up1")(x3, x2, train)         # 32
+        x5 = Up(c(128), a, dt, ub, rm, name="up2")(x4, x1, train)         # 64
         sq = self.num_classes == 1
         o1 = OutConv(self.num_classes, name="outc1")(x4, squeezed=sq)
         o2 = OutConv(self.num_classes, name="outc2")(x5, squeezed=sq)
@@ -100,18 +116,20 @@ class PGUNet3(nn.Module):
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
     remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
+    width: float = 1.0  # channel-width multiplier (1.0 = reference widths)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
+        c = lambda n: _scaled(n, self.width)
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(128, a, dt, ub, rm, name="inc")(x, train)          # 128
-        x2 = Down(256, a, dt, ub, rm, name="down2")(x1, train)         # 64
-        x3 = Down(512, a, dt, ub, rm, name="down3")(x2, train)         # 32
-        x4 = Down(512, a, dt, ub, rm, name="down4")(x3, train)         # 16
-        x5 = Up(256, a, dt, ub, rm, name="up1")(x4, x3, train)         # 32
-        x6 = Up(128, a, dt, ub, rm, name="up2")(x5, x2, train)         # 64
-        x7 = Up(64, a, dt, ub, rm, name="up3")(x6, x1, train)          # 128
+        x1 = InConv(c(128), a, dt, ub, rm, name="inc")(x, train)          # 128
+        x2 = Down(c(256), a, dt, ub, rm, name="down2")(x1, train)         # 64
+        x3 = Down(c(512), a, dt, ub, rm, name="down3")(x2, train)         # 32
+        x4 = Down(c(512), a, dt, ub, rm, name="down4")(x3, train)         # 16
+        x5 = Up(c(256), a, dt, ub, rm, name="up1")(x4, x3, train)         # 32
+        x6 = Up(c(128), a, dt, ub, rm, name="up2")(x5, x2, train)         # 64
+        x7 = Up(c(64), a, dt, ub, rm, name="up3")(x6, x1, train)          # 128
         res = x7.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x5, squeezed=sq), res)
@@ -127,20 +145,22 @@ class PGUNet4(nn.Module):
     dtype: Any = None
     use_bn: bool = True  # False = run on BN-folded weights (models/folding.py)
     remat: bool = False  # jax.checkpoint each DoubleConv (activation remat)
+    width: float = 1.0  # channel-width multiplier (1.0 = reference widths)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         a, dt, ub, rm = self.axis_name, self.dtype, self.use_bn, self.remat
+        c = lambda n: _scaled(n, self.width)
         x = x.astype(dt) if dt is not None else x
-        x1 = InConv(64, a, dt, ub, rm, name="inc")(x, train)           # 256
-        x2 = Down(128, a, dt, ub, rm, name="down1")(x1, train)         # 128
-        x3 = Down(256, a, dt, ub, rm, name="down2")(x2, train)         # 64
-        x4 = Down(512, a, dt, ub, rm, name="down3")(x3, train)         # 32
-        x5 = Down(512, a, dt, ub, rm, name="down4")(x4, train)         # 16
-        x6 = Up(256, a, dt, ub, rm, name="up1")(x5, x4, train)         # 32
-        x7 = Up(128, a, dt, ub, rm, name="up2")(x6, x3, train)         # 64
-        x8 = Up(64, a, dt, ub, rm, name="up3")(x7, x2, train)          # 128
-        x9 = Up(64, a, dt, ub, rm, name="up4")(x8, x1, train)          # 256
+        x1 = InConv(c(64), a, dt, ub, rm, name="inc")(x, train)           # 256
+        x2 = Down(c(128), a, dt, ub, rm, name="down1")(x1, train)         # 128
+        x3 = Down(c(256), a, dt, ub, rm, name="down2")(x2, train)         # 64
+        x4 = Down(c(512), a, dt, ub, rm, name="down3")(x3, train)         # 32
+        x5 = Down(c(512), a, dt, ub, rm, name="down4")(x4, train)         # 16
+        x6 = Up(c(256), a, dt, ub, rm, name="up1")(x5, x4, train)         # 32
+        x7 = Up(c(128), a, dt, ub, rm, name="up2")(x6, x3, train)         # 64
+        x8 = Up(c(64), a, dt, ub, rm, name="up3")(x7, x2, train)          # 128
+        x9 = Up(c(64), a, dt, ub, rm, name="up4")(x8, x1, train)          # 256
         res = x9.shape[1:3]
         sq = self.num_classes == 1
         o = _up_to(OutConv(self.num_classes, name="outc1")(x6, squeezed=sq), res)

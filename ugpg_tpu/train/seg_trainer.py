@@ -113,6 +113,7 @@ class UncertaintyGuidedProgressiveTrainer:
         remat: bool = False,
         pipeline_unc: int = 0,
         nan_guard: bool = True,
+        width: float = 1.0,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -162,6 +163,13 @@ class UncertaintyGuidedProgressiveTrainer:
         with ``mesh=`` (the pipeline builds its own train mesh),
         ``scan_epochs`` (host-side pipelining needs per-step dispatch), and
         ``accum_steps>1`` (the producer emits one map per batch).
+
+        ``width``: channel-width multiplier for every stage's convs
+        (1.0 = the reference widths, ref: UG_unet.py:178-304).  Narrow
+        variants keep the exact topology and layer names, so transfer /
+        checkpoint / resume work unchanged — used for compile-bounded
+        validation (the driver dryrun's full-trainer phase) and small
+        deployments.
 
         ``nan_guard`` (default on): when an epoch's mean train/val loss is
         NaN/Inf, save a ``*_diverged`` diagnostic checkpoint and raise
@@ -214,9 +222,12 @@ class UncertaintyGuidedProgressiveTrainer:
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
 
+        # width != 1.0: narrow stage variants (models/pgunet._scaled) —
+        # same topology/names, so transfer/checkpointing work unchanged
+        self.width = float(width)
         self.modules = {
             s: cls(num_classes=num_classes, axis_name=axis_name, dtype=dtype,
-                   remat=remat)
+                   remat=remat, width=self.width)
             for s, cls in STAGE_MODELS.items()
         }
         # Lazily initialized per-stage variable trees.
