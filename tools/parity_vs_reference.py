@@ -57,15 +57,52 @@ def _import_reference():
         if p not in sys.path:
             sys.path.insert(0, p)
     # torchvision is not installed in this container; the reference's
-    # herlev_dataset imports it at module level but the harness never
-    # touches those dataset transforms — stub the import.
+    # dataset modules import it at module level.  The aug-pos_weight arm
+    # actually EXERCISES Compose/Resize/ToTensor (the reference's
+    # setup_datasets iterates AugMoNuSegDataset with transform=True,
+    # augment=False: PIL resize + ToTensor; ref aug_monuseg_dataset.py:
+    # 144-165), so those three get faithful minimal implementations; the
+    # augment-only TF.* functional hooks are never called by the harness
+    # and stay absent.
     if "torchvision" not in sys.modules:
         import types
+
+        import torch
+
+        class _Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for t in self.ts:
+                    x = t(x)
+                return x
+
+        class _Resize:
+            def __init__(self, size):
+                self.size = size if isinstance(size, tuple) else (size, size)
+
+            def __call__(self, pic):
+                from PIL import Image
+
+                return pic.resize(self.size[::-1], Image.BILINEAR)
+
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic)
+                if arr.ndim == 2:
+                    arr = arr[None]
+                else:
+                    arr = arr.transpose(2, 0, 1)
+                if arr.dtype == np.uint8:
+                    arr = arr.astype(np.float32) / 255.0
+                return torch.from_numpy(np.ascontiguousarray(arr))
 
         tv = types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
         tf = types.ModuleType("torchvision.transforms.functional")
         tr.__path__ = []  # mark as package so the .functional import resolves
+        tr.Compose, tr.Resize, tr.ToTensor = _Compose, _Resize, _ToTensor
         tv.transforms = tr
         tr.functional = tf
         sys.modules["torchvision"] = tv
@@ -115,6 +152,126 @@ def make_cls_batches(n_batches: int, batch_size: int, size: int,
         batches.append((np.clip(imgs, 0, 1).astype(np.float32),
                         labels.astype(np.int64)))
     return batches
+
+
+_XML_TEMPLATE = """<?xml version="1.0"?>
+<Annotations MicronsPerPixel="0.25">
+  <Annotation><Regions>{regions}</Regions></Annotation>
+</Annotations>"""
+
+
+def build_tiny_monuseg_dir(root, size: int = 64, n_train: int = 2,
+                           n_val: int = 2, n_aug: int = 6, seed: int = 0):
+    """Write a minimal on-disk MoNuSeg tree (train/val/train-aug, .tif +
+    Aperio-style XML) that BOTH data layers can read — the substrate for
+    lockstep-driving the reference's AugMoNuSegTrainer.setup_datasets
+    (auto pos_weight, ref: train_aug_monuseg.py:94-121) against ours."""
+    from PIL import Image
+
+    root = Path(root)
+    g = np.random.default_rng(seed)
+
+    def poly_xml(polys):
+        regions = "".join(
+            "<Region><Vertices>"
+            + "".join(f'<Vertex X="{x}" Y="{y}"/>' for x, y in poly)
+            + "</Vertices></Region>"
+            for poly in polys
+        )
+        return _XML_TEMPLATE.format(regions=regions)
+
+    def nucleus(cx, cy, r):
+        return [(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r),
+                (cx - r, cy + r)]
+
+    layouts = [
+        ("train", n_train, root / "train"),
+        ("val", n_val, root / "val"),
+        ("aug", n_aug, root / "train" / "aug"),
+    ]
+    for tag, n, base in layouts:
+        (base / "images").mkdir(parents=True, exist_ok=True)
+        (base / "annots").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = (g.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(base / "images" / f"{tag}_{i}.tif")
+            polys = [
+                nucleus(int(g.uniform(12, size - 12)),
+                        int(g.uniform(12, size - 12)),
+                        int(g.uniform(4, 9)))
+                for _ in range(3)
+            ]
+            (base / "annots" / f"{tag}_{i}.xml").write_text(poly_xml(polys))
+    return root
+
+
+def run_reference_seg_aug(data_dir, batches, steps_per_stage: dict[int, int],
+                          alpha: float = 1.0, seed: int = 0):
+    """Lockstep-drive the reference's AugMoNuSegTrainer — its REAL
+    setup_datasets computes ``pos_weight=(1-r)/r`` from the on-disk masks
+    and swaps base_criterion (ref: train_aug_monuseg.py:94-121); training
+    then proceeds over the harness's synthetic batches so trajectories are
+    comparable.  Returns (pos_weight, init_state_dicts, records)."""
+    import torch
+
+    _import_reference()
+    ref_root = str(REFERENCE_ROOT / "MoNuSegImprove")
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    import train_aug_monuseg as ref_aug  # noqa: E402
+
+    torch.manual_seed(seed)
+    config = {
+        "data_dir": str(data_dir),
+        "in_channels": 3,
+        "num_classes": 1,
+        "device": "cpu",
+        "uncertainty_alpha": alpha,
+        "num_epochs_per_stage": 1,
+        "val_ratio": 0.2,
+    }
+    with redirect_stdout(io.StringIO()):
+        trainer = ref_aug.AugMoNuSegTrainer(config)
+        trainer.setup_datasets()
+    pos_weight = float(trainer.base_criterion.pos_weight.item())
+    stages = sorted(steps_per_stage)
+    init_sds = {
+        s: copy.deepcopy(trainer.models[s].state_dict()) for s in stages
+    }
+    records = []
+    with redirect_stdout(io.StringIO()):
+        for stage in stages:
+            if stage > 1:
+                trainer.transfer_weights(stage - 1, stage)
+            trainer.current_stage = stage
+            trainer.current_model = trainer.models[stage]
+            trainer.setup_optimizer(stage)
+            for step in range(steps_per_stage[stage]):
+                batch = _to_torch_seg(batches[step % len(batches)])
+                loss, base, dice, acc, um, us = trainer.train_epoch(
+                    [batch], stage
+                )
+                records.append(dict(stage=stage, step=step, final_loss=loss,
+                                    base_loss=base, dice=dice, accuracy=acc,
+                                    unc_mean=um, unc_std=us))
+    return pos_weight, init_sds, records
+
+
+def run_ours_seg_aug(data_dir, init_sds, batches,
+                     steps_per_stage: dict[int, int], alpha: float = 1.0):
+    """Our AugMoNuSegTrainer's REAL setup_datasets computes pos_weight from
+    the same on-disk masks (train/aug_trainer.py::compute_pos_weight), then
+    the fused steps train with it.  Returns (pos_weight, records)."""
+    from ugpg_tpu.train.aug_trainer import AugMoNuSegTrainer
+
+    with redirect_stdout(io.StringIO()):
+        tr = AugMoNuSegTrainer(verbose=False)
+        tr.setup_datasets(str(data_dir))
+    pos_weight = float(tr.pos_weight)
+    return pos_weight, run_ours_seg(
+        init_sds, batches, steps_per_stage, alpha=alpha,
+        pos_weight=pos_weight,
+    )
 
 
 def _to_torch_seg(batch):
@@ -178,7 +335,8 @@ def run_reference_seg(batches, steps_per_stage: dict[int, int],
 # ---------------------------------------------------------------------------
 
 def run_ours_seg(init_sds, batches, steps_per_stage: dict[int, int],
-                 alpha: float = 1.0, fused_loss: bool = False):
+                 alpha: float = 1.0, fused_loss: bool = False,
+                 pos_weight: float = 5.0):
     """Run our fused jit train steps from the reference's initial weights.
 
     Composes OUR torch-import mapping, OUR transfer_weights, OUR resize /
@@ -206,7 +364,9 @@ def run_ours_seg(init_sds, batches, steps_per_stage: dict[int, int],
 
     records = []
     prev_final = None
-    pos_weight = jnp.asarray(5.0)  # ref: uncertainty_guided_trainer.py:64
+    # default 5.0: ref uncertainty_guided_trainer.py:64; the aug path
+    # overrides with its auto-computed (1-r)/r (run_ours_seg_aug)
+    pos_weight = jnp.asarray(pos_weight, jnp.float32)
     for stage in stages:
         if stage > 1:
             variables, _ = transfer_weights(prev_final, init_vars[stage])
@@ -450,6 +610,9 @@ def main(argv=None):
     p.add_argument("--chaos_control", action="store_true",
                    help="also run the reference vs an eps-perturbed copy of "
                         "itself to calibrate fp-chaos drift")
+    p.add_argument("--aug", action="store_true",
+                   help="also lockstep the AugMoNuSegTrainer auto-pos_weight "
+                        "path (both setup_datasets on a tiny on-disk tree)")
     args = p.parse_args(argv)
 
     plan = {s: args.steps for s in args.stages}
@@ -469,6 +632,28 @@ def main(argv=None):
         pert_rec = run_reference_seg_perturbed(seg_batches, plan)
         report["segmentation_torch_self_divergence_eps1e-6"] = compare(
             ref_rec, pert_rec, ("final_loss", "base_loss", "dice"))
+
+    if args.aug:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            data_dir = build_tiny_monuseg_dir(Path(td) / "M")
+            ref_pw, init_sds, ref_rec = run_reference_seg_aug(
+                data_dir, seg_batches, plan
+            )
+            our_pw, our_rec = run_ours_seg_aug(
+                data_dir, init_sds, seg_batches, plan
+            )
+        _print_table(
+            f"aug-MoNuSeg (auto pos_weight ref={ref_pw:.3f} ours={our_pw:.3f})",
+            ref_rec, our_rec, ("final_loss", "dice", "unc_mean"))
+        report["aug_monuseg"] = compare(
+            ref_rec, our_rec, ("final_loss", "base_loss", "dice", "accuracy",
+                               "unc_mean", "unc_std"))
+        report["aug_monuseg"]["pos_weight"] = {
+            "ref": ref_pw, "ours": our_pw,
+            "rel": abs(ref_pw - our_pw) / max(abs(ref_pw), 1e-8),
+        }
 
     cls_batches = make_cls_batches(4, args.batch_size, 64, 7, seed=1)
     cw = [0.5, 1.5, 1.0, 2.0, 0.8, 1.2, 1.0]
