@@ -22,8 +22,15 @@ RES, PREV_RES, BATCH, STEPS = 32, 16, 8, 4
 POS_W = 5.0
 
 
-def _models_and_batches(seed=0):
-    m1, m2 = PGUNet1(num_classes=1), PGUNet2(num_classes=1)
+def _models_and_batches(seed=0, width=1.0):
+    """``width < 1``: narrow variants (same topology/names) — the pipeline
+    equivalence semantics are width-independent, and the fake-8-device CPU
+    backend executes each device's convs SEQUENTIALLY at the conftest's
+    highest matmul precision, so full-width mesh programs crawl (XLA CPU's
+    40 s collective rendezvous can even abort when one shard's convs run
+    that long)."""
+    m1 = PGUNet1(num_classes=1, width=width)
+    m2 = PGUNet2(num_classes=1, width=width)
     v1 = m1.init(jax.random.key(seed), jnp.zeros((1, PREV_RES, PREV_RES, 3)), False)
     v2 = m2.init(jax.random.key(seed + 1), jnp.zeros((1, RES, RES, 3)), False)
     images, masks = disk_dataset(num_samples=BATCH * STEPS, image_size=RES)
@@ -179,6 +186,176 @@ def test_cls_pipelined_matches_fused_step():
     assert float(got_ms[0]["uncertainty_weight_mean"]) > 1.0  # 1 + alpha*A
 
 
+def test_pipelined_accum_matches_fused_accum():
+    """pipeline_unc × gradient accumulation: the producer replicates the
+    per-micro augmentation keying, the consumer splits the precomputed map
+    into micro-batches — trajectory matches the fused accum step."""
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=7, width=0.25)
+    tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+    state = TrainState.create(v2, tx)
+    step = make_seg_train_step(
+        m2, tx, 2, RES, prev_module=m1, prev_resolution=PREV_RES,
+        donate=False, augment=True, accum_steps=2,
+    )
+    pos_w = jnp.asarray(POS_W)
+    want_ms = []
+    for (im, ms), k in zip(batches, keys):
+        state, m = step(state, v1, (jnp.asarray(im), jnp.asarray(ms)), pos_w, k)
+        want_ms.append(m)
+
+    _, got_state, got_ms = _pipelined_trajectory(
+        m1, m2, v1, v2, batches, keys, True, n_unc=4, accum_steps=2,
+    )
+    _assert_matches(state, want_ms, got_state, got_ms)
+
+
+def test_pipelined_scan_matches_fused_trajectory():
+    """pipeline_unc × scan_epochs (chunk-level pipelining): the unc group
+    produces a stacked block of maps per chunk while the train group scans
+    the previous chunk; final params and epoch-mean metrics match the
+    fused per-step trajectory, and chunking/double-buffering never changes
+    the math."""
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=9, width=0.25)
+    want_state, want_ms = _fused_trajectory(m1, m2, v1, v2, batches, keys, True)
+
+    def scan_run(chunk_bytes):
+        tx = torch_rmsprop(1e-4, weight_decay=1e-4)
+        pipe = UncertaintyPipeline(
+            m2, m1, tx, stage=2, resolution=RES, prev_resolution=PREV_RES,
+            augment=True, donate=False, n_unc=4,
+        )
+        state = pipe.create_state(v2)
+        prev = pipe.place_prev(v1)
+        return pipe.run_epoch_scan(
+            state, prev, batches, POS_W, jnp.stack(keys),
+            chunk_bytes=chunk_bytes,
+        )
+
+    # one chunk: epoch-mean metrics vs the fused per-step means
+    s_one, parts_one, tail_one = scan_run(None)
+    assert len(parts_one) == 1 and parts_one[0][1] == STEPS and not tail_one
+    want_host = jax.device_get(want_ms)
+    for key in ("final_loss", "dice", "uncertainty_weight_mean"):
+        want_mean = float(np.mean([float(m[key]) for m in want_host]))
+        np.testing.assert_allclose(
+            float(parts_one[0][0][key]), want_mean, rtol=5e-2, atol=1e-6,
+            err_msg=key,
+        )
+    for w, g in zip(jax.tree.leaves(want_state.params),
+                    jax.tree.leaves(s_one.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-2, atol=5e-2)
+
+    # two chunks (double-buffered): identical math to the one-chunk run
+    per_batch = batches[0][0].nbytes + batches[0][1].nbytes
+    s_two, parts_two, tail_two = scan_run(2 * per_batch)
+    assert len(parts_two) == 2 and not tail_two
+    for w, g in zip(jax.tree.leaves(s_one.params),
+                    jax.tree.leaves(s_two.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cls_pipelined_scan_matches_fused_trajectory():
+    """Classification run_epoch_scan: stacked (S, B) weight blocks from the
+    unc group drive the scanned external-uncertainty epoch program.
+    (slow: the classifier has no narrow-width variant and full-width mesh
+    programs execute serially per fake device; the seg tests cover the
+    run_epoch_scan machinery on the default suite.)"""
+    from ugpg_tpu.models.classifier import HerlevClassificationModel
+    from ugpg_tpu.train.steps import make_cls_train_step
+
+    res, prev_res, k_cls, batch, steps = 32, 16, 4, 8, 3
+    rng = np.random.default_rng(21)
+    m1 = HerlevClassificationModel(stage=1, num_classes=k_cls)
+    m2 = HerlevClassificationModel(stage=2, num_classes=k_cls)
+    v1 = m1.init(jax.random.key(0), jnp.zeros((1, prev_res, prev_res, 3)), False)
+    v2 = m2.init(jax.random.key(1), jnp.zeros((1, res, res, 3)), False)
+    batches = [
+        (rng.random((batch, res, res, 3)).astype(np.float32),
+         rng.integers(0, k_cls, size=batch).astype(np.int32))
+        for _ in range(steps)
+    ]
+    cw = np.ones((k_cls,), np.float32)
+    keys = list(jax.random.split(jax.random.key(13), steps))
+    common = dict(augment=True, normalize=True)
+
+    tx = torch_rmsprop(1e-4)
+    state = TrainState.create(v2, tx)
+    step = make_cls_train_step(
+        m2, tx, 2, res, k_cls, prev_module=m1, prev_resolution=prev_res,
+        donate=False, **common,
+    )
+    want_ms = []
+    for (im, lb), k in zip(batches, keys):
+        state, m = step(state, v1, (jnp.asarray(im), jnp.asarray(lb)),
+                        jnp.asarray(cw), k)
+        want_ms.append(m)
+
+    tx2 = torch_rmsprop(1e-4)
+    pipe = UncertaintyPipeline(
+        m2, m1, tx2, stage=2, resolution=res, prev_resolution=prev_res,
+        task_type="classification", num_classes=k_cls, n_unc=4,
+        donate=False, **common,
+    )
+    got_state = pipe.create_state(v2)
+    prev = pipe.place_prev(v1)
+    got_state, parts, tail = pipe.run_epoch_scan(
+        got_state, prev, batches, cw, jnp.stack(keys), chunk_bytes=None,
+    )
+    assert len(parts) == 1 and parts[0][1] == steps and not tail
+    want_host = jax.device_get(want_ms)
+    mm = parts[0][0]
+    np.testing.assert_allclose(
+        float(mm["final_loss"]),
+        float(np.mean([float(m["final_loss"]) for m in want_host])),
+        rtol=5e-2, atol=1e-6,
+    )
+    # correct/count come back SUMMED over the scanned steps
+    assert int(mm["count"]) == batch * steps
+    assert float(mm["uncertainty_weight_mean"]) > 1.0
+    for w, g in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(got_state.params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_trainer_pipeline_scan_matches_plain_scan(tmp_path):
+    """Trainer-level composition: pipeline_unc=4 + scan_epochs tracks the
+    plain scan_epochs trainer (stage 1 identical — same plain scan path;
+    stage 2 chunk-pipelined within GSPMD rounding)."""
+    from ugpg_tpu.data.synthetic import ArrayLoader, disk_dataset
+    from ugpg_tpu.train.seg_trainer import UncertaintyGuidedProgressiveTrainer
+
+    cfgs = {
+        1: {"resolution": 16, "epochs_per_stage": 2, "lr": 3e-4},
+        2: {"resolution": 32, "epochs_per_stage": 2, "lr": 1e-4},
+    }
+    images, masks = disk_dataset(num_samples=16, image_size=32, seed=8)
+    train = ArrayLoader(images[:8], masks[:8], batch_size=8)
+    val = ArrayLoader(images[8:], masks[8:], batch_size=8)
+
+    plain = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, scan_epochs=True, width=0.25
+    )
+    h0 = plain.train_progressive(train, val, max_stages=2,
+                                 save_dir=tmp_path / "plain")
+    piped = UncertaintyGuidedProgressiveTrainer(
+        stage_configs=cfgs, verbose=False, scan_epochs=True, pipeline_unc=4,
+        width=0.25,
+    )
+    h1 = piped.train_progressive(train, val, max_stages=2,
+                                 save_dir=tmp_path / "piped")
+
+    np.testing.assert_allclose(h1["train_loss"][:2], h0["train_loss"][:2],
+                               rtol=1e-6)
+    np.testing.assert_allclose(h1["train_loss"][2:], h0["train_loss"][2:],
+                               rtol=1e-3)
+    np.testing.assert_allclose(h1["val_dice"], h0["val_dice"], atol=1e-3)
+    assert (tmp_path / "piped" / "ug_pgunet_stage2_best").exists()
+
+
 def test_split_devices_and_validation():
     train, unc = split_devices(2)
     assert len(train) == 6 and len(unc) == 2
@@ -195,10 +372,6 @@ def test_split_devices_and_validation():
     with pytest.raises(ValueError):  # depth must be >= 1
         UncertaintyPipeline(
             m2, m1, tx, stage=2, resolution=32, prev_resolution=16, depth=0
-        )
-    with pytest.raises(ValueError):  # producer emits one probs_up per batch
-        make_seg_train_step(
-            m2, tx, 2, 32, external_uncertainty=True, accum_steps=2
         )
 
 
@@ -267,14 +440,12 @@ def test_trainer_pipeline_unc_validation():
         UncertaintyGuidedProgressiveTrainer(
             verbose=False, pipeline_unc=2, mesh=make_mesh(n_data=2)
         )
-    with pytest.raises(ValueError, match="per-step dispatch"):
-        UncertaintyGuidedProgressiveTrainer(
-            verbose=False, pipeline_unc=2, scan_epochs=True
-        )
-    with pytest.raises(ValueError, match="accum_steps"):
-        UncertaintyGuidedProgressiveTrainer(
-            verbose=False, pipeline_unc=2, accum_steps=2
-        )
+    # scan_epochs and accum_steps now COMPOSE with pipeline_unc
+    # (chunk-level pipelining / micro-batch map splitting) — construction
+    # must succeed
+    UncertaintyGuidedProgressiveTrainer(
+        verbose=False, pipeline_unc=2, scan_epochs=True, accum_steps=2
+    )
 
 
 def test_herlev_trainer_pipeline_unc_matches_plain_trainer(tmp_path):
@@ -331,7 +502,5 @@ def test_herlev_trainer_pipeline_unc_validation():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         HerlevTrainer(cfg(pipeline_unc=2), mesh=make_mesh(n_data=2))
-    with pytest.raises(ValueError, match="per-step dispatch"):
-        HerlevTrainer(cfg(pipeline_unc=2, scan_epochs=True))
-    with pytest.raises(ValueError, match="accum_steps"):
-        HerlevTrainer(cfg(pipeline_unc=2, accum_steps=2))
+    # scan_epochs/accum_steps now compose with pipeline_unc
+    HerlevTrainer(cfg(pipeline_unc=2, scan_epochs=True, accum_steps=2))

@@ -50,9 +50,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "to the frozen previous-stage uncertainty forward "
                         "(its own program, dispatched one batch ahead); "
                         "the rest train data-parallel. Stages > 1 only; "
-                        "exclusive with --mesh/--scan_epochs/--accum_steps. "
-                        "Train loaders drop the ragged final batch (batch "
-                        "sizes must divide both device groups)")
+                        "exclusive with --mesh; composes with "
+                        "--scan_epochs (chunk-level pipelining) and "
+                        "--accum_steps. Train loaders drop the ragged "
+                        "final batch (batch sizes must divide both device "
+                        "groups)")
     p.add_argument("--resume", action="store_true",
                    help="resume mid-stage from the herlev_stage{S}_last "
                         "checkpoint a preempted run wrote in output_dir "

@@ -102,7 +102,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "to the frozen previous-stage uncertainty forward "
                         "(its own program, dispatched one batch ahead); "
                         "the rest train data-parallel. Stages > 1 only; "
-                        "exclusive with --mesh/--scan_epochs/--accum_steps")
+                        "exclusive with --mesh; composes with "
+                        "--scan_epochs (chunk-level pipelining) and "
+                        "--accum_steps")
+    p.add_argument("--aug_quantize", type=int, default=0, metavar="N",
+                   help="opt-in: quantize the augmentation rotation to N "
+                        "discrete angles on the MXU shear path "
+                        "(ops/rotate.py) instead of the per-sample gather")
     return p
 
 
@@ -161,6 +167,7 @@ def main(argv=None):
         accum_steps=args.accum_steps,
         remat=args.remat,
         pipeline_unc=args.pipeline_unc,
+        aug_quantize=args.aug_quantize,
     )
 
     if args.plain:

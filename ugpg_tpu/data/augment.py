@@ -224,13 +224,27 @@ def color_jitter(
 
 # -- full pipelines ----------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_deg",))
-def augment_monuseg_batch(key, images, masks, max_deg: float = 90.0):
+@functools.partial(jax.jit, static_argnames=("max_deg", "quantize_angles"))
+def augment_monuseg_batch(key, images, masks, max_deg: float = 90.0,
+                          quantize_angles: int = 0):
     """Joint MoNuSeg train augmentation (ref: monuseg_dataset.py:145-181):
-    hflip p.5, vflip p.5, rotation U(-90, 90), color jitter p.8."""
+    hflip p.5, vflip p.5, rotation U(-90, 90), color jitter p.8.
+
+    ``quantize_angles=N`` (opt-in) replaces the continuous per-sample
+    rotation gather with the angle-quantized MXU shear path
+    (ops/rotate.py): N discrete angles, constant-index programs — same
+    flip/color chain and key layout, different angle marginal (discrete
+    uniform)."""
     k1, k2, k3 = jax.random.split(key, 3)
     images, masks = random_flips(k1, images, masks)
-    images, masks = random_rotate(k2, images, masks, max_deg=max_deg)
+    if quantize_angles:
+        from ugpg_tpu.ops.rotate import random_rotate_quantized
+
+        images, masks = random_rotate_quantized(
+            k2, images, masks, max_deg=max_deg, n_angles=quantize_angles
+        )
+    else:
+        images, masks = random_rotate(k2, images, masks, max_deg=max_deg)
     images = color_jitter(k3, images, 0.2, 0.2, 0.2, 0.05, prob=0.8)
     return images, masks
 

@@ -169,25 +169,12 @@ class HerlevTrainer:
         # while the rest train data-parallel (parallel.pipeline; same
         # semantics/constraints as the segmentation trainer's pipeline_unc)
         self.pipeline_unc = int(self.config.get("pipeline_unc", 0))
-        if self.pipeline_unc:
-            if mesh is not None:
-                raise ValueError(
-                    "pipeline_unc and mesh are mutually exclusive: the "
-                    "pipeline builds its own (train, uncertainty) device "
-                    "split from the visible devices"
-                )
-            if self.scan_epochs:
-                raise ValueError(
-                    "pipeline_unc requires per-step dispatch; scan_epochs "
-                    "fuses the epoch into one program with the uncertainty "
-                    "forward already inside it"
-                )
-            if self.accum_steps != 1:
-                raise ValueError(
-                    "pipeline_unc is incompatible with accum_steps>1: the "
-                    "uncertainty producer emits one weight vector per "
-                    "loader batch"
-                )
+        if self.pipeline_unc and mesh is not None:
+            raise ValueError(
+                "pipeline_unc and mesh are mutually exclusive: the "
+                "pipeline builds its own (train, uncertainty) device "
+                "split from the visible devices"
+            )
         self._pipelines: dict[int, tuple] = {}
 
         self.history = {
@@ -422,6 +409,7 @@ class HerlevTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=bool(self.config.get("augment", True)),
                 normalize=True,
+                accum_steps=self.accum_steps,
             )
             prev_host = jax.device_get(self._ensure_variables(stage - 1))
             prev_unc = pipe.place_prev(prev_host)
@@ -455,6 +443,29 @@ class HerlevTrainer:
         for m in metrics:
             m.pop("logits", None)
         return self._reduce_epoch(metrics)
+
+    def _train_epoch_pipelined_scan(self, batches: list, stage: int):
+        """scan_epochs × pipeline_unc: chunk-level pipelining — the unc
+        group produces a stacked block of per-sample weights per chunk
+        while the train group scans the previous chunk (same RNG subkey
+        stream as every other path; parallel.pipeline.run_epoch_scan)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pipe, prev, _ = self._get_pipeline(stage)
+        repl = NamedSharding(pipe.train_mesh, PartitionSpec())
+        self._state = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self._state
+        )
+        self._drop_key, subs = split_epoch_keys(self._drop_key, len(batches))
+        self._state, parts, tail_metrics = pipe.run_epoch_scan(
+            self._state, prev, batches, self.class_weights, subs,
+            chunk_bytes=self.scan_chunk_bytes,
+        )
+        self.variables[stage] = self._state.variables
+        tail_metrics = [dict(m) for m in tail_metrics]
+        for m in tail_metrics:
+            m.pop("logits", None)
+        return self._combine_cls_scan(parts, tail_metrics)
 
     @staticmethod
     def _reduce_epoch(metrics_list):
@@ -583,6 +594,8 @@ class HerlevTrainer:
             batches = list(dataloader)
             if not batches:
                 return (0.0, 0.0, 0.0, 0.0, 0.0)
+            if self.scan_epochs:
+                return self._train_epoch_pipelined_scan(batches, stage)
             return self._train_epoch_pipelined(batches, stage)
         if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)

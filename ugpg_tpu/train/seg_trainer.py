@@ -114,6 +114,7 @@ class UncertaintyGuidedProgressiveTrainer:
         pipeline_unc: int = 0,
         nan_guard: bool = True,
         width: float = 1.0,
+        aug_quantize: int = 0,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes (see
         ``parallel.mesh.make_mesh``).  When set, stage variables are sharded
@@ -160,9 +161,12 @@ class UncertaintyGuidedProgressiveTrainer:
         dispatches the uncertainty program one batch ahead so the two
         overlap (``parallel.pipeline.UncertaintyPipeline``).  Stage-1
         epochs (no previous model) run the normal path.  Mutually exclusive
-        with ``mesh=`` (the pipeline builds its own train mesh),
-        ``scan_epochs`` (host-side pipelining needs per-step dispatch), and
-        ``accum_steps>1`` (the producer emits one map per batch).
+        with ``mesh=`` (the pipeline builds its own train mesh).  Composes
+        with ``scan_epochs`` (CHUNK-level pipelining: the unc group
+        produces a stacked block of maps in one scanned program while the
+        train group scans the previous chunk) and with ``accum_steps>1``
+        (the producer's maps split into micro-batches with matched
+        augmentation keying).
 
         ``width``: channel-width multiplier for every stage's convs
         (1.0 = the reference widths, ref: UG_unet.py:178-304).  Narrow
@@ -170,6 +174,13 @@ class UncertaintyGuidedProgressiveTrainer:
         checkpoint / resume work unchanged — used for compile-bounded
         validation (the driver dryrun's full-trainer phase) and small
         deployments.
+
+        ``aug_quantize=N`` (opt-in, with ``augment``): replace the
+        augmentation's continuous per-sample rotation gather with the
+        angle-quantized MXU shear path — N discrete angles, constant-index
+        programs (ops/rotate.py; A/B numbers in BASELINE.md
+        §train-roofline).  Changes only the rotation-angle marginal
+        (discrete uniform over N points instead of continuous).
 
         ``nan_guard`` (default on): when an epoch's mean train/val loss is
         NaN/Inf, save a ``*_diverged`` diagnostic checkpoint and raise
@@ -199,25 +210,14 @@ class UncertaintyGuidedProgressiveTrainer:
         self.accum_steps = accum_steps
         self.remat = remat
         self.pipeline_unc = int(pipeline_unc)
-        if self.pipeline_unc:
-            if mesh is not None:
-                raise ValueError(
-                    "pipeline_unc and mesh are mutually exclusive: the "
-                    "pipeline builds its own (train, uncertainty) device "
-                    "split from the visible devices"
-                )
-            if scan_epochs:
-                raise ValueError(
-                    "pipeline_unc requires per-step dispatch; scan_epochs "
-                    "fuses the epoch into one program with the uncertainty "
-                    "forward already inside it"
-                )
-            if accum_steps != 1:
-                raise ValueError(
-                    "pipeline_unc is incompatible with accum_steps>1: the "
-                    "uncertainty producer emits one map per loader batch"
-                )
+        if self.pipeline_unc and mesh is not None:
+            raise ValueError(
+                "pipeline_unc and mesh are mutually exclusive: the "
+                "pipeline builds its own (train, uncertainty) device "
+                "split from the visible devices"
+            )
         self._pipelines: dict[int, tuple] = {}
+        self.aug_quantize = int(aug_quantize)
         self.nan_guard = nan_guard
         self._aug_key = jax.random.key(seed + 1)
         self._print = print if verbose else (lambda *a, **k: None)
@@ -333,6 +333,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 augment=self.augment,
                 fused_loss=self.fused_loss,
                 accum_steps=self.accum_steps,
+                aug_quantize=self.aug_quantize,
             )
         return self._train_steps[stage]
 
@@ -368,6 +369,7 @@ class UncertaintyGuidedProgressiveTrainer:
                 augment=self.augment,
                 fused_loss=self.fused_loss,
                 accum_steps=self.accum_steps,
+                aug_quantize=self.aug_quantize,
             )
         return self._train_epochs[stage]
 
@@ -418,6 +420,8 @@ class UncertaintyGuidedProgressiveTrainer:
                 alpha=self.uncertainty_alpha,
                 augment=self.augment,
                 fused_loss=self.fused_loss,
+                accum_steps=self.accum_steps,
+                aug_quantize=self.aug_quantize,
             )
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -450,6 +454,26 @@ class UncertaintyGuidedProgressiveTrainer:
         )
         self.variables[stage] = self._state.variables
         return self._average(metrics)
+
+    def _train_epoch_pipelined_scan(self, batches: list, stage: int):
+        """scan_epochs × pipeline_unc: chunk-level pipelining — the unc
+        group produces a stacked block of maps per chunk while the train
+        group scans the previous chunk (same per-step RNG subkey stream as
+        every other path; parallel.pipeline.run_epoch_scan)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        pipe, prev, _ = self._get_pipeline(stage)
+        repl = NamedSharding(pipe.train_mesh, PartitionSpec())
+        self._state = jax.tree.map(
+            lambda x: jax.device_put(x, repl), self._state
+        )
+        self._aug_key, subs = split_epoch_keys(self._aug_key, len(batches))
+        self._state, parts, tail_metrics = pipe.run_epoch_scan(
+            self._state, prev, batches, self.pos_weight, subs,
+            chunk_bytes=self.scan_chunk_bytes,
+        )
+        self.variables[stage] = self._state.variables
+        return _combine_scan_metrics(parts, tail_metrics)
 
     def _as_batch(self, batch):
         images, masks = batch
@@ -556,6 +580,8 @@ class UncertaintyGuidedProgressiveTrainer:
             batches = list(dataloader)
             if not batches:
                 return (0.0,) * len(_METRIC_KEYS)
+            if self.scan_epochs:
+                return self._train_epoch_pipelined_scan(batches, stage)
             return self._train_epoch_pipelined(batches, stage)
         if self.scan_epochs and self._scan_possible():
             batches = list(dataloader)

@@ -106,6 +106,7 @@ def make_seg_train_step(
     fused_loss: bool = False,
     accum_steps: int = 1,
     external_uncertainty: bool = False,
+    aug_quantize: int = 0,
 ) -> Callable:
     """Build the jitted segmentation train step for one stage.
 
@@ -140,6 +141,7 @@ def make_seg_train_step(
     step = _build_seg_train_body(
         module, tx, stage, resolution, prev_module, prev_resolution,
         alpha, augment, fused_loss, accum_steps, external_uncertainty,
+        aug_quantize=aug_quantize,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -194,18 +196,17 @@ def _build_seg_train_body(
     fused_loss: bool = False,
     accum_steps: int = 1,
     external_uncertainty: bool = False,
+    aug_quantize: int = 0,
 ) -> Callable:
     """Un-jitted seg train-step body, shared by the per-step jit and the
-    ``lax.scan`` whole-epoch program (``make_seg_train_epoch``)."""
+    ``lax.scan`` whole-epoch program (``make_seg_train_epoch``).
+
+    ``aug_quantize=N`` (opt-in): run the augmentation rotation on the
+    angle-quantized MXU shear path with N discrete angles (ops/rotate.py)
+    instead of the per-sample gather — see BASELINE.md §train-roofline."""
     use_unc = stage > 1 and (prev_module is not None or external_uncertainty)
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
-    if external_uncertainty and accum_steps != 1:
-        raise ValueError(
-            "external_uncertainty (pipelined prev-stage forward) does not "
-            "compose with accum_steps > 1: the producer program emits one "
-            "probs_up per full batch"
-        )
 
     def micro(params, batch_stats, prev_variables, images, masks,
               pos_weight, rng):
@@ -218,7 +219,9 @@ def _build_seg_train_body(
         x = resize_bilinear_align_corners(images, (resolution, resolution))
         y = resize_nearest(masks, (resolution, resolution))
         if augment:
-            x, y = augment_monuseg_batch(rng, x, y)
+            x, y = augment_monuseg_batch(
+                rng, x, y, quantize_angles=aug_quantize
+            )
 
         if use_unc:
             if external_uncertainty:
@@ -281,6 +284,18 @@ def _build_seg_train_body(
             grads, new_bs, metrics = micro(
                 state.params, state.batch_stats, prev_variables,
                 images, masks, pos_weight, rng,
+            )
+        elif external_uncertainty and use_unc:
+            # the precomputed probs_up (B, res, res, K) splits into
+            # micro-batches on its leading axis exactly like images/masks
+            # (the producer program mirrors the per-micro augmentation
+            # keying; see parallel/pipeline.py::make_uncertainty_program)
+            grads, new_bs, metrics = _accum_scan(
+                lambda p, bs, pu, im, ms, k: micro(
+                    p, bs, pu, im, ms, pos_weight, k
+                ),
+                state.params, state.batch_stats,
+                (prev_variables, images, masks), rng, accum_steps,
             )
         else:
             grads, new_bs, metrics = _accum_scan(
@@ -435,12 +450,6 @@ def _build_cls_train_body(
     use_unc = stage > 1 and (prev_module is not None or external_uncertainty)
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
-    if external_uncertainty and accum_steps != 1:
-        raise ValueError(
-            "external_uncertainty (pipelined prev-stage forward) does not "
-            "compose with accum_steps > 1: the producer program emits one "
-            "weight vector per full batch"
-        )
 
     def micro(params, batch_stats, prev_variables, images, labels,
               class_weights, rng):
@@ -506,6 +515,18 @@ def _build_cls_train_body(
             grads, new_bs, metrics = micro(
                 state.params, state.batch_stats, prev_variables,
                 images, labels, class_weights, rng,
+            )
+        elif external_uncertainty and use_unc:
+            # the precomputed per-sample weights (B,) split into
+            # micro-batches alongside images/labels (the producer mirrors
+            # the per-micro rng keying; parallel/pipeline.py)
+            grads, new_bs, metrics = _accum_scan(
+                lambda p, bs, uw, im, lb, k: micro(
+                    p, bs, uw, im, lb, class_weights, k
+                ),
+                state.params, state.batch_stats,
+                (prev_variables, images, labels), rng,
+                accum_steps, metric_sums=("correct", "count"),
             )
         else:
             grads, new_bs, metrics = _accum_scan(
@@ -640,25 +661,43 @@ def make_seg_train_epoch(
     augment: bool = False,
     fused_loss: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
+    aug_quantize: int = 0,
 ) -> Callable:
     """Whole-epoch seg training: ``epoch(state, prev_variables,
     (images (S,B,H,W,C), masks (S,B,H,W,1)), pos_weight, keys (S,)) ->
     (state, mean_metrics)``.  Metrics are per-step means averaged over the
     S steps on device (matching the loop path's equal-weight epoch average).
+
+    ``external_uncertainty=True``: ``prev_variables`` instead carries the
+    STACKED precomputed probabilities ``(S, B, res, res, K)`` from the
+    pipelined producer (parallel/pipeline.py) — one slice feeds each
+    scanned step, so a chunk of uncertainty maps produced on a disjoint
+    device group drives a whole scanned chunk of train steps.
     """
     body = _build_seg_train_body(
         module, tx, stage, resolution, prev_module, prev_resolution,
-        alpha, augment, fused_loss, accum_steps,
+        alpha, augment, fused_loss, accum_steps, external_uncertainty,
+        aug_quantize=aug_quantize,
     )
 
     def epoch(state: TrainState, prev_variables, batches, pos_weight, keys):
         images, masks = batches
 
-        def scan_body(st, xs):
-            img, msk, k = xs
-            return body(st, prev_variables, (img, msk), pos_weight, k)
+        if external_uncertainty:
+            def scan_body(st, xs):
+                pu, img, msk, k = xs
+                return body(st, pu, (img, msk), pos_weight, k)
 
-        state, ms = jax.lax.scan(scan_body, state, (images, masks, keys))
+            xs = (prev_variables, images, masks, keys)
+        else:
+            def scan_body(st, xs):
+                img, msk, k = xs
+                return body(st, prev_variables, (img, msk), pos_weight, k)
+
+            xs = (images, masks, keys)
+
+        state, ms = jax.lax.scan(scan_body, state, xs)
         return state, jax.tree.map(jnp.mean, ms)
 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
@@ -703,23 +742,38 @@ def make_cls_train_epoch(
     augment: bool = False,
     normalize: bool = False,
     accum_steps: int = 1,
+    external_uncertainty: bool = False,
 ) -> Callable:
     """Whole-epoch cls training.  ``correct``/``count`` come back summed
     over the epoch (accuracy = correct/count), other metrics as means —
-    mirroring ``HerlevTrainer._reduce_epoch``."""
+    mirroring ``HerlevTrainer._reduce_epoch``.
+
+    ``external_uncertainty=True``: ``prev_variables`` carries the STACKED
+    precomputed per-sample weights ``(S, B)`` from the pipelined producer
+    (parallel/pipeline.py); one row feeds each scanned step."""
     body = _build_cls_train_body(
         module, tx, stage, resolution, num_classes, prev_module,
         prev_resolution, alpha, augment, normalize, accum_steps,
+        external_uncertainty,
     )
 
     def epoch(state: TrainState, prev_variables, batches, class_weights, keys):
         images, labels = batches
 
-        def scan_body(st, xs):
-            img, lbl, k = xs
-            return body(st, prev_variables, (img, lbl), class_weights, k)
+        if external_uncertainty:
+            def scan_body(st, xs):
+                uw, img, lbl, k = xs
+                return body(st, uw, (img, lbl), class_weights, k)
 
-        state, ms = jax.lax.scan(scan_body, state, (images, labels, keys))
+            xs = (prev_variables, images, labels, keys)
+        else:
+            def scan_body(st, xs):
+                img, lbl, k = xs
+                return body(st, prev_variables, (img, lbl), class_weights, k)
+
+            xs = (images, labels, keys)
+
+        state, ms = jax.lax.scan(scan_body, state, xs)
         return state, _reduce_cls_epoch_metrics(ms)
 
     return jax.jit(epoch, donate_argnums=(0,) if donate else ())
