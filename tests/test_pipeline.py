@@ -93,7 +93,7 @@ def _assert_matches(want_state, want_ms, got_state, got_ms,
 
 
 def test_pipelined_matches_fused_step():
-    m1, m2, v1, v2, batches, keys = _models_and_batches()
+    m1, m2, v1, v2, batches, keys = _models_and_batches(width=0.25)
     want_state, want_ms = _fused_trajectory(m1, m2, v1, v2, batches, keys, False)
     pipe, got_state, got_ms = _pipelined_trajectory(
         m1, m2, v1, v2, batches, keys, False, n_unc=4,
@@ -110,7 +110,7 @@ def test_pipelined_matches_fused_step():
 def test_pipelined_matches_fused_step_augmented():
     """Same rng drives the augmentation in BOTH programs -> identical pixels
     reach the frozen forward, so trajectories still match."""
-    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=3)
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=3, width=0.25)
     want_state, want_ms = _fused_trajectory(m1, m2, v1, v2, batches, keys, True)
     _, got_state, got_ms = _pipelined_trajectory(
         m1, m2, v1, v2, batches, keys, True, n_unc=4,
@@ -120,7 +120,7 @@ def test_pipelined_matches_fused_step_augmented():
 
 def test_pipeline_depth_invariance():
     """depth only changes the schedule, never the math."""
-    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=5)
+    m1, m2, v1, v2, batches, keys = _models_and_batches(seed=5, width=0.25)
     _, s1, ms1 = _pipelined_trajectory(
         m1, m2, v1, v2, batches, keys, False, n_unc=4, depth=1,
     )
@@ -413,11 +413,12 @@ def test_trainer_pipeline_unc_matches_plain_trainer(tmp_path):
     train = ArrayLoader(images[:8], masks[:8], batch_size=8)
     val = ArrayLoader(images[8:], masks[8:], batch_size=8)
 
-    plain = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs, verbose=False)
+    plain = UncertaintyGuidedProgressiveTrainer(stage_configs=cfgs,
+                                            verbose=False, width=0.25)
     h0 = plain.train_progressive(train, val, max_stages=2,
                                  save_dir=tmp_path / "plain")
     piped = UncertaintyGuidedProgressiveTrainer(
-        stage_configs=cfgs, verbose=False, pipeline_unc=4
+        stage_configs=cfgs, verbose=False, pipeline_unc=4, width=0.25
     )
     h1 = piped.train_progressive(train, val, max_stages=2,
                                  save_dir=tmp_path / "piped")
